@@ -1,0 +1,163 @@
+package graft.pipeline
+
+import graft.corpus.Synth
+import graft.kernel.Extract
+import graft.model._
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The distributed extraction job: `Dataset[Doc]` → `Dataset[DocResult]`.
+  *
+  * Scale design (north rule: partitioning/shuffle/skew explicit, 10^12 docs):
+  *  - **Salted repartition** by `pmod(hash(doc_id) + salt, P)` ahead of the
+  *    kernel so hot key ranges cannot pile into one task (the reference's
+  *    single-container 1000-image batch is exactly this failure mode,
+  *    tests/test_batch_limits.py:195-201).
+  *  - **Oversized-doc defusal**: documents above `oversizedSpanThreshold`
+  *    input spans are exploded into page-aligned chunks, extracted
+  *    independently, and reassembled with a keyed group — so the long tail
+  *    of 200-page monsters parallelizes instead of straggling. Small docs
+  *    (the vast majority) take the zero-shuffle fast path; the union keeps
+  *    one narrow stage for them.
+  *  - **Executor-warm kernel**: the kernel is a JVM object (lazy-initialized
+  *    per executor, like the reference's @modal.enter one-time model load,
+  *    modal_gpu.py:92-179); `mapPartitions` amortizes any setup across the
+  *    whole partition = the reference's "true batching" (modal_gpu.py:235-240).
+  *  - Failures are rows, never exceptions: a bad document can't kill the job
+  *    (client.py:217-222 semantics).
+  */
+object ExtractionPipeline {
+
+  final case class Config(
+      numPartitions: Int = 32,
+      salt: Int = 0,
+      oversizedSpanThreshold: Int = 64,
+      pagesPerChunk: Int = 16,
+      mode: String = graft.kernel.Router.LayoutAll)
+
+  /** Deterministic synthetic corpus as a Dataset — embarrassingly parallel,
+    * zero shuffle, no stored input (scales to any nDocs). */
+  def synthDocs(spark: SparkSession, nDocs: Long,
+                seed: Long = Synth.DefaultSeed,
+                parallelism: Int = 32): Dataset[Doc] = {
+    import spark.implicits._
+    spark.range(0L, nDocs, 1L, parallelism).map(id => Synth.docFor(seed, id))
+  }
+
+  private[pipeline] final case class Chunk(doc_id: String, chunk_idx: Int, spans: Seq[Span])
+
+  /** Split an oversized doc into page-aligned chunks (a chunk boundary is
+    * always a text span = page start, so per-page semantics are preserved). */
+  private[pipeline] def chunkDoc(doc: Doc, pagesPerChunk: Int): Seq[Chunk] = {
+    val spans = doc.spans.sortBy(_.offset)
+    val chunks = Vector.newBuilder[Chunk]
+    val cur = Vector.newBuilder[Span]
+    var pagesInCur = 0
+    var nChunks = 0
+    var curHasContent = false
+    def flush(): Unit = if (curHasContent) {
+      chunks += Chunk(doc.doc_id, nChunks, cur.result())
+      nChunks += 1
+      cur.clear(); pagesInCur = 0; curHasContent = false
+    }
+    spans.foreach { s =>
+      val startsPage = s.kind != Kinds.MediaKind
+      if (startsPage) {
+        if (pagesInCur >= pagesPerChunk) flush()
+        pagesInCur += 1
+      }
+      cur += s; curHasContent = true
+    }
+    flush()
+    chunks.result()
+  }
+
+  /** Reassemble chunk results into the whole-doc result: concatenate in
+    * chunk order, renumber offsets, combine failure codes by severity —
+    * exactly what the single-pass kernel computes. */
+  private[pipeline] def reassemble(docId: String, parts: Seq[(Int, DocResult)]): DocResult = {
+    val sorted = parts.sortBy(_._1).map(_._2)
+    val spans = Vector.newBuilder[Span]
+    var off = 0
+    var code = FailureCodes.Ok
+    var pages = 0
+    var nanos = 0L
+    sorted.foreach { r =>
+      r.spans.foreach { s => spans += s.copy(offset = off); off += 1 }
+      code = FailureCodes.worse(code, r.failure_code)
+      pages += r.n_pages
+      nanos += r.kernel_nanos
+    }
+    DocResult(docId, spans.result(), success = !FailureCodes.isFatal(code),
+      code, off, pages, TaskContext.getPartitionId(), nanos)
+  }
+
+  def extract(docs: Dataset[Doc], cfg: Config = Config()): Dataset[DocResult] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    // salted repartition: explicit skew defusal for hot doc_id ranges
+    val salted = docs.repartition(cfg.numPartitions,
+      pmod(hash($"doc_id") + lit(cfg.salt), lit(cfg.numPartitions)))
+      .as[Doc]
+
+    val threshold = cfg.oversizedSpanThreshold
+    val small = salted.filter(d => d.spans == null || d.spans.size <= threshold)
+    val big = salted.filter(d => d.spans != null && d.spans.size > threshold)
+
+    val opts = Extract.Options(mode = cfg.mode)
+
+    // fast path: whole doc through the kernel, no further shuffle
+    val smallResults = small.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      it.map(d => Extract.extractDoc(d, opts).copy(partition_id = pid))
+    }
+
+    // skew path: page-aligned chunking -> parallel extraction -> keyed rebuild
+    val pagesPerChunk = cfg.pagesPerChunk
+    val bigResults = big
+      .flatMap(d => chunkDoc(d, pagesPerChunk))
+      .repartition(cfg.numPartitions,
+        pmod(hash($"doc_id", $"chunk_idx") + lit(cfg.salt), lit(cfg.numPartitions)))
+      .as[Chunk]
+      .map { c =>
+        val r = Extract.extractDoc(Doc(c.doc_id, c.spans), opts)
+        (c.doc_id, c.chunk_idx, r)
+      }
+      .groupByKey(_._1)
+      .mapGroups { (id, it) =>
+        reassemble(id, it.map(t => (t._2, t._3)).toSeq)
+      }
+
+    smallResults.union(bigResults)
+  }
+
+  /** Per-partition lineage/metrics rollup (north rule; FIXTURES.md §5).
+    * wall_ms is the summed kernel time per partition — in local mode task
+    * wall clock ≈ kernel time; at cluster scale attach a SparkListener for
+    * stage-level wall times. */
+  def partitionMetrics(results: Dataset[DocResult], snapshotId: Long): Dataset[PartitionMetric] = {
+    val spark = results.sparkSession
+    import spark.implicits._
+    results
+      .groupByKey(_.partition_id)
+      .mapGroups { (pid, it) =>
+        var nDocs = 0L; var nPages = 0L; var nSpans = 0L; var nFail = 0L
+        var nanos = 0L
+        var idMin: String = null; var idMax: String = null
+        val codes = scala.collection.mutable.Map.empty[String, Long]
+        it.foreach { r =>
+          nDocs += 1; nPages += r.n_pages; nSpans += r.n_spans
+          nanos += r.kernel_nanos
+          if (!r.success) nFail += 1
+          if (r.failure_code.nonEmpty)
+            codes(r.failure_code) = codes.getOrElse(r.failure_code, 0L) + 1
+          if (idMin == null || r.doc_id < idMin) idMin = r.doc_id
+          if (idMax == null || r.doc_id > idMax) idMax = r.doc_id
+        }
+        PartitionMetric(snapshotId, pid, idMin, idMax, nDocs, nPages, nSpans,
+          nFail, codes.toMap, nanos / 1000000L)
+      }
+  }
+}
