@@ -1,13 +1,371 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.analytics.Scoring
+import graft.corpus.{Fixtures, FromTable}
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.ExtractionPipeline
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — flagship entry + one query per implemented operator
+  * (SURVEY.md §2) with ANSI-SQL DuckDB oracles where SQL can express the
+  * semantics; kernel-dependent queries (x-series) are rows-only checked.
+  *
+  * Conventions shared with every oracle: floating outputs rounded to ≤6
+  * decimals, deterministic ORDER BY, and column names identical on both
+  * sides (the driver compare hashes by sorted column name).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship: full extraction over the golden fixtures + the sf0.001
+    * documents-derived corpus, exploded to spans. */
+  def entry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val docs = FromTable.docs(spark, "/root/testdata/sf0.001")
+      .union(Fixtures.inputDocs.toDS())
+    ExtractionPipeline.extract(docs, ExtractionPipeline.Config(numPartitions = 8))
+      .select($"doc_id", $"success", $"failure_code", explode($"spans").as("span"))
+      .select($"doc_id", $"span.offset", $"span.kind", $"span.media_ref", $"span.text",
+        $"success", $"failure_code")
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational / rollup shapes (SURVEY.md §2.4) ----
+    "q1_lineitem_rollup" -> ((s, d) => {
+      t(s, d, "lineitem").groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("l_quantity"), 4).as("sum_qty"),
+          round(avg("l_extendedprice"), 4).as("avg_price"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "q2_nation_order_stats" -> ((s, d) => {
+      t(s, d, "orders")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 4).as("total_price"),
+          round(avg("o_totalprice"), 4).as("avg_price"))
+        .orderBy("n_name")
+    }),
+    "q3_price_buckets" -> ((s, d) => {
+      t(s, d, "orders")
+        .withColumn("bucket",
+          when(col("o_totalprice") < 50000, "lo")
+            .when(col("o_totalprice") < 150000, "mid")
+            .otherwise("hi"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_orders"))
+        .orderBy("bucket")
+    }),
+    "q4_running_peak" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .withColumn("rs", sum("value").over(w))
+        .groupBy("event_type").agg(round(max("rs"), 4).as("peak"))
+        .orderBy("event_type")
+    }),
+    "q5_latest_events" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+      t(s, d, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("user_id", "event_id", "event_type")
+        .orderBy("user_id")
+    }),
+    "q6_top_docs" -> ((s, d) => {
+      t(s, d, "documents").select("doc_id", "n_chars")
+        .orderBy(col("n_chars").desc, col("doc_id")).limit(10)
+    }),
+    "q7_event_users" -> ((s, d) => {
+      t(s, d, "events").groupBy("event_type")
+        .agg(countDistinct("user_id").as("n_users"), count(lit(1)).as("n_events"))
+        .orderBy("event_type")
+    }),
+    "q8_props_key" -> ((s, d) => {
+      t(s, d, "events")
+        .withColumn("k", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int"))
+        .groupBy("event_type")
+        .agg(round(avg("k"), 6).as("avg_k"), max("k").as("max_k"))
+        .orderBy("event_type")
+    }),
+    // ---- text analysis ----
+    "t1_token_count" -> ((s, d) =>
+      TextAnalysis.tokenCount(t(s, d, "documents")).orderBy("doc_id")),
+    "t2_quality" -> ((s, d) =>
+      TextAnalysis.qualityScore(t(s, d, "documents")).orderBy("doc_id")),
+    "t3_langid" -> ((s, d) =>
+      TextAnalysis.langId(t(s, d, "documents")).orderBy("doc_id")),
+    "t4_fingerprint" -> ((s, d) =>
+      TextAnalysis.fingerprint(t(s, d, "documents")).orderBy("doc_id")),
+    "t5_rolling_fingerprint" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents").select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          (id, TextAnalysis.rollingHash(
+            Option(text).getOrElse("").toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)))
+        }.toDF("doc_id", "rolling_fp").orderBy("doc_id")
+    }),
+    // ---- dedup ----
+    "d1_exact_dedup" -> ((s, d) =>
+      Dedup.exactDedup(t(s, d, "documents")).orderBy("content_hash")),
+    "d2_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(t(s, d, "documents"), minJaccard = 0.5)
+        .orderBy("doc_a", "doc_b")),
+    "d3_minhash_sig" -> ((s, d) =>
+      Dedup.minhashSignatures(t(s, d, "documents")).orderBy("doc_id")),
+    "d4_lsh_pairs" -> ((s, d) =>
+      Dedup.lshNearDupPairs(Dedup.minhashSignatures(t(s, d, "documents")))
+        .orderBy("doc_a", "doc_b")),
+    "d5_embedding_neardup" -> ((s, d) =>
+      Dedup.embeddingNearDups(t(s, d, "embeddings"), minCosine = 0.45)
+        .orderBy("id_a", "id_b")),
+    "d6_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(t(s, d, "documents"), maxHamming = 6)
+        .orderBy("doc_a", "doc_b")),
+    // ---- similarity search ----
+    "s1_cosine_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
+        .orderBy("query_id", "rank")
+    }),
+    "s2_lsh_ann" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.lshAnnTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
+        .orderBy("query_id", "rank")
+    }),
+    // ---- multimodal ----
+    "m1_media_meta" -> ((s, d) => {
+      Multimodal.decodeStub(
+        Multimodal.synthMediaTable(t(s, d, "documents").select("doc_id")))
+        .toDF().orderBy("media_id")
+    }),
+    // ---- extraction pipeline (kernel-dependent: rows-only checks) ----
+    "x1_extract_spans" -> ((s, d) => {
+      import s.implicits._
+      ExtractionPipeline.extract(FromTable.docs(s, d),
+        ExtractionPipeline.Config(numPartitions = 16))
+        .select($"doc_id", explode($"spans").as("span"))
+        .select($"doc_id", $"span.offset".as("offset"), $"span.kind".as("kind"),
+          $"span.media_ref".as("media_ref"), $"span.text".as("text"))
+        .orderBy("doc_id", "offset")
+    }),
+    "x2_kind_histogram" -> ((s, d) => {
+      import s.implicits._
+      ExtractionPipeline.extract(FromTable.docs(s, d),
+        ExtractionPipeline.Config(numPartitions = 16))
+        .select(explode($"spans.kind").as("kind"))
+        .groupBy("kind").agg(count(lit(1)).as("n_spans"))
+        .orderBy("kind")
+    }),
+    "x3_partition_metrics" -> ((s, d) => {
+      val results = ExtractionPipeline.extract(FromTable.docs(s, d),
+        ExtractionPipeline.Config(numPartitions = 8))
+      ExtractionPipeline.partitionMetrics(results, snapshotId = 0)
+        .toDF().drop("failure_codes") // map column: scalars only for the dump
+        .orderBy("partition_id")
+    }),
+    "x4_golden_verdicts" -> ((s, _) => {
+      import s.implicits._
+      val results = ExtractionPipeline.extract(Fixtures.inputDocs.toDS(),
+        ExtractionPipeline.Config(numPartitions = 2))
+      Scoring.spanVerdicts(results, Fixtures.expected.values.toSeq.toDS())
+        .select("doc_id", "spans_match", "failure_match", "verdict")
+        .orderBy("doc_id")
+    }),
+    "x5_field_outcomes" -> ((s, _) => {
+      import s.implicits._
+      // golden truth vs a deterministically perturbed extraction: exercises
+      // match / mismatch / missing / extra + array length classes
+      val gt = Fixtures.ex000TruthJsonRaw
+      val perturbed = gt
+        .replace("\\\"ranking\\\":1", "\\\"ranking\\\":9")
+        .replace("\\\"nation\\\":\\\"Italy\\\"", "\\\"country\\\":\\\"Italy\\\"")
+      Scoring.fieldOutcomes(Seq(
+        ("ex000_self", gt, gt),
+        ("ex000_perturbed", gt, perturbed)).toDS())
+        .toDF().orderBy("doc_id", "path", "outcome")
+    }),
+    "x6_field_scores" -> ((s, _) => {
+      import s.implicits._
+      val gt = Fixtures.ex000TruthJsonRaw
+      val perturbed = gt.replace("\\\"ranking\\\":1", "\\\"ranking\\\":9")
+      Scoring.scores(Scoring.fieldOutcomes(Seq(
+        ("ex000_self", gt, gt),
+        ("ex000_perturbed", gt, perturbed)).toDS()))
+        .toDF().orderBy("doc_id")
+    }))
+
+  // ------------------------------------------------------------ oracle SQL
+
+  /** DuckDB twins of every SQL-expressible query above. Shared determinism
+    * rules: md5-derived 60-bit hashes (`('0x'||substr(md5(x),1,15))::BIGINT`
+    * ≡ Spark `conv(substr(md5(x),1,15),16,10)`), round(…, ≤6), ORDER BY. */
+  def oracleSql: Map[String, String] = Map(
+    "q1_lineitem_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        | round(sum(l_quantity),4) AS sum_qty,
+        | round(avg(l_extendedprice),4) AS avg_price
+        |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q2_nation_order_stats" ->
+      """SELECT n_name, count(*) AS n_orders,
+        | round(sum(o_totalprice),4) AS total_price,
+        | round(avg(o_totalprice),4) AS avg_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q3_price_buckets" ->
+      """SELECT CASE WHEN o_totalprice < 50000 THEN 'lo'
+        |            WHEN o_totalprice < 150000 THEN 'mid'
+        |            ELSE 'hi' END AS bucket, count(*) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q4_running_peak" ->
+      """SELECT event_type, round(max(rs),4) AS peak FROM (
+        | SELECT event_type, sum(value) OVER (PARTITION BY event_type
+        |   ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rs
+        | FROM events) GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q5_latest_events" ->
+      """SELECT user_id, event_id, event_type FROM (
+        | SELECT user_id, event_id, event_type,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q6_top_docs" ->
+      "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 10",
+    "q7_event_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q8_props_key" ->
+      """SELECT event_type, round(avg(CAST(regexp_extract(props,'"k": (\d+)',1) AS INT)),6) AS avg_k,
+        | max(CAST(regexp_extract(props,'"k": (\d+)',1) AS INT)) AS max_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t1_token_count" ->
+      """SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
+        | ELSE len(regexp_split_to_array(trim(text),'\s+')) END AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t2_quality" ->
+      s"""WITH base AS (
+         | SELECT doc_id, length(text) AS n_chars,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0
+         |   ELSE len(regexp_split_to_array(trim(text),'\\s+')) END AS n_tokens,
+         |  length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS punct,
+         |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0
+         |   ELSE len(list_filter(regexp_split_to_array(trim(text),'\\s+'),
+         |        x -> x IN (${TextAnalysis.EnStopwords.map("'" + _ + "'").mkString(",")}))) END AS stop_hits
+         | FROM documents)
+         |SELECT doc_id, n_chars, n_tokens,
+         | round(punct::DOUBLE / greatest(n_chars,1), 6) AS punct_ratio,
+         | round(digits::DOUBLE / greatest(n_chars,1), 6) AS digit_ratio,
+         | round(stop_hits::DOUBLE / greatest(n_tokens,1), 6) AS stopword_ratio,
+         | round((n_chars - n_tokens + 1)::DOUBLE / greatest(n_tokens,1), 6) AS mean_token_len,
+         | CASE WHEN n_tokens < 10 THEN 'too_short'
+         |      WHEN round(stop_hits::DOUBLE / greatest(n_tokens,1), 6) < 0.01 THEN 'suspicious'
+         |      WHEN round((n_chars - n_tokens + 1)::DOUBLE / greatest(n_tokens,1), 6) > 12.0 THEN 'suspicious'
+         |      ELSE 'ok' END AS quality_label
+         |FROM base ORDER BY doc_id""".stripMargin,
+    "t3_langid" -> {
+      val markerScore = TextAnalysis.LangMarkers.map { case (lang, ms) =>
+        s"len(list_filter(toks, x -> x IN (${ms.map("'" + _ + "'").mkString(",")}))) AS score_$lang"
+      }.mkString(",\n  ")
+      val langs = TextAnalysis.LangMarkers.map(_._1)
+      val maxExpr = s"greatest(${langs.map("score_" + _).mkString(",")})"
+      val pick = langs.reverse.foldLeft("'und'") { (els, lang) =>
+        s"CASE WHEN score_$lang = $maxExpr AND $maxExpr > 0 THEN '$lang' ELSE $els END"
+      }
+      s"""WITH toksd AS (
+         | SELECT doc_id, text, CASE WHEN length(trim(lower(text))) = 0 THEN []
+         |  ELSE regexp_split_to_array(trim(lower(text)),'\\s+') END AS toks
+         | FROM documents),
+         |scored AS (SELECT doc_id, text,
+         |  $markerScore
+         | FROM toksd)
+         |SELECT doc_id, ${langs.map("score_" + _).mkString(", ")},
+         | CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+         |      ELSE $pick END AS lang_id
+         |FROM scored ORDER BY doc_id""".stripMargin
+    },
+    "t4_fingerprint" ->
+      "SELECT doc_id, md5(lower(trim(text))) AS fingerprint FROM documents ORDER BY doc_id",
+    "d1_exact_dedup" ->
+      """SELECT md5(lower(trim(text))) AS content_hash,
+        | min(doc_id) AS keeper_doc_id, count(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d2_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(trim(lower(text)),'\s+'), x -> x <> '') AS toks
+        | FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(
+        |   generate_series(1, len(toks)-2),
+        |   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        | FROM toks WHERE len(toks) >= 3),
+        |r AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM sh)
+        |SELECT doc_a, doc_b, n_common, jaccard FROM (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common,
+        |  round(count(*)::DOUBLE / (a.n_sh + b.n_sh - count(*)), 6) AS jaccard
+        | FROM r a JOIN r b USING (shingle) WHERE a.doc_id < b.doc_id
+        | GROUP BY 1, 2, a.n_sh, b.n_sh)
+        |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    "d3_minhash_sig" -> {
+      val mins = (0 until 16).map(i =>
+        s"min(('0x' || substr(md5('$i:' || shingle), 1, 15))::BIGINT) AS mh${"%02d".format(i)}")
+        .mkString(",\n  ")
+      s"""WITH toks AS (SELECT doc_id,
+         |  list_filter(regexp_split_to_array(trim(lower(text)),'\\s+'), x -> x <> '') AS toks
+         | FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(
+         |   generate_series(1, len(toks)-2),
+         |   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+         | FROM toks WHERE len(toks) >= 3),
+         |r AS (SELECT doc_id, unnest(sh) AS shingle FROM sh)
+         |SELECT doc_id,
+         |  $mins
+         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+    "d5_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE (
+        |  list_sum(list_transform(generate_series(1, len(a.embedding)),
+        |    i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+        |  / (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)),
+        |      i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+        |   * sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)),
+        |      i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))))
+        | ) >= 0.45
+        |ORDER BY id_a, id_b""".stripMargin,
+    "s1_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS neighbor_id, embedding AS c_emb FROM embeddings),
+        |scored AS (
+        | SELECT query_id, neighbor_id,
+        |  list_sum(list_transform(generate_series(1, len(q_emb)),
+        |    i -> q_emb[i]::DOUBLE * c_emb[i]::DOUBLE))
+        |  / (sqrt(list_sum(list_transform(generate_series(1, len(q_emb)),
+        |      i -> q_emb[i]::DOUBLE * q_emb[i]::DOUBLE)))
+        |   * sqrt(list_sum(list_transform(generate_series(1, len(c_emb)),
+        |      i -> c_emb[i]::DOUBLE * c_emb[i]::DOUBLE)))) AS cos
+        | FROM c CROSS JOIN q WHERE neighbor_id <> query_id)
+        |SELECT query_id, rank, neighbor_id FROM (
+        | SELECT query_id, neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        | FROM scored)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "m1_media_meta" ->
+      """SELECT media_id, ('0x' || substr(h,1,2))::INT + 16 AS width,
+        | ('0x' || substr(h,3,2))::INT + 16 AS height,
+        | CASE WHEN ('0x' || substr(h,5,1))::INT % 3 = 0 THEN 'png'
+        |      WHEN ('0x' || substr(h,5,1))::INT % 3 = 1 THEN 'jpeg'
+        |      ELSE 'webp' END AS format,
+        | length(repeat(h, 4)) AS n_bytes,
+        | md5(repeat(h, 4)) AS phash
+        |FROM (SELECT doc_id AS media_id, md5(doc_id::VARCHAR) AS h FROM documents)
+        |ORDER BY media_id""".stripMargin)
 }

@@ -1,0 +1,180 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for web-scale corpora: exact, n-gram Jaccard,
+  * MinHash+LSH, SimHash, embedding near-dup.
+  *
+  * Scale shapes:
+  *  - exact dedup = one hash aggregation on a 16-byte key (shuffle of
+  *    (hash, id) pairs only — never the text);
+  *  - n-gram Jaccard joins on *shingle* (the classic candidate-pair
+  *    generator); common-shingle counts are map-side combinable;
+  *  - MinHash signatures compress each doc to k longs before any join;
+  *    LSH bands turn O(n²) similarity into equi-joins on band keys;
+  *  - SimHash reduces a doc to one 64-bit key; near-dup candidates come
+  *    from banded equi-joins on 16-bit sub-keys (Hamming ≤ 3 ⇒ some band
+  *    exact-matches by pigeonhole);
+  *  - embedding near-dup broadcast-joins a small query side or
+  *    block-joins within LSH buckets at scale.
+  */
+object Dedup {
+
+  /** Normalized content hash (the exact-dedup key). */
+  def contentHash(text: Column): Column = md5(lower(trim(text)).cast("binary"))
+
+  /** Exact dedup: one row per distinct content hash with the keeper
+    * (minimum doc_id — deterministic) and the duplicate count. */
+  def exactDedup(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.groupBy(contentHash(col(textCol)).as("content_hash"))
+      .agg(min(col("doc_id")).as("keeper_doc_id"),
+        count(lit(1)).as("n_docs"))
+
+  /** Distinct word `n`-gram shingles of a text column (codegen'd higher-
+    * order functions, no UDF). Docs shorter than n tokens get no shingles. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = TextAnalysis.tokens(lower(text))
+    array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  /** Exploded (doc_id, shingle, n_shingles) — the self-join input. */
+  def shingleRows(docs: DataFrame, textCol: String = "text", n: Int = 3): DataFrame = {
+    val withSh = docs.select(col("doc_id"), shingles(col(textCol), n).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+      .filter(col("n_sh") > 0)
+    withSh.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
+  }
+
+  /** Pairwise n-gram Jaccard over candidate pairs that share ≥1 shingle
+    * (pairs with zero overlap are never materialized). Returns pairs with
+    * jaccard ≥ `minJaccard`, doc_a < doc_b. */
+  def ngramJaccardPairs(docs: DataFrame, minJaccard: Double,
+                        textCol: String = "text", n: Int = 3): DataFrame = {
+    val rows = shingleRows(docs, textCol, n)
+    val a = rows.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"), col("shingle"))
+    val b = rows.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"), col("shingle"))
+    a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("n_common"))
+      .withColumn("jaccard",
+        round(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "n_common", "jaccard")
+  }
+
+  /** Deterministic 60-bit hash of a shingle under hash-function index `i`,
+    * shared bit-for-bit with the DuckDB oracle: first 15 hex chars of
+    * md5("<i>:<shingle>"). */
+  private def mh(i: Int, shingle: Column): Column =
+    conv(substring(md5(concat(lit(s"$i:"), shingle).cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+
+  /** MinHash signatures: k 60-bit min-hashes per document — the compressed
+    * similarity sketch (Broder '97). One groupBy, k min() aggregates. */
+  def minhashSignatures(docs: DataFrame, k: Int = 16,
+                        textCol: String = "text", n: Int = 3): DataFrame = {
+    val rows = shingleRows(docs, textCol, n)
+    rows.groupBy("doc_id")
+      .agg(min(mh(0, col("shingle"))).as("mh00"),
+        (1 until k).map(i => min(mh(i, col("shingle"))).as(f"mh$i%02d")): _*)
+  }
+
+  /** LSH candidate pairs from banded MinHash signatures: `bands` bands of
+    * `k/bands` rows; docs sharing any band key become candidates; estimated
+    * similarity = fraction of agreeing signature positions. */
+  def lshNearDupPairs(signatures: DataFrame, k: Int = 16, bands: Int = 4,
+                      minEstJaccard: Double = 0.5): DataFrame = {
+    val rowsPerBand = k / bands
+    val sigCols = (0 until k).map(i => col(f"mh$i%02d"))
+    val bandKeys = (0 until bands).map { b =>
+      md5(concat_ws(",",
+        (0 until rowsPerBand).map(r => sigCols(b * rowsPerBand + r)): _*).cast("binary"))
+        .as(s"band_$b")
+    }
+    val withBands = signatures.select(col("*") +: bandKeys: _*)
+    val banded = (0 until bands).map { b =>
+      withBands.select(col("doc_id"), lit(b).as("band"), col(s"band_$b").as("key"),
+        array(sigCols: _*).as("sig"))
+    }.reduce(_ union _)
+    val a = banded.select(col("band"), col("key"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("key"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
+      .distinct()
+      .withColumn("est_jaccard",
+        round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          (b: Column) => b)).cast("double") / lit(k), 6))
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select("doc_a", "doc_b", "est_jaccard")
+  }
+
+  /** 64-bit SimHash over whitespace tokens (Charikar '02): per-bit majority
+    * vote of token hashes. Pure Scala kernel (bit twiddling is clearer and
+    * faster than 64 column expressions). */
+  def simhash64(tokens: Seq[String]): Long = {
+    val votes = new Array[Int](64)
+    tokens.foreach { t =>
+      var h = 1125899906842597L
+      var i = 0
+      while (i < t.length) { h = 31 * h + t.charAt(i); i += 1 }
+      h = graft.corpus.Synth.splitmix64(h)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, candidates
+    * via 4×16-bit band equi-join (pigeonhole: ham ≤ 3 ⇒ ≥1 band equal). */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+                   textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sims = docs.select(col("doc_id").cast("string"), col(textCol)).as[(String, String)]
+      .map { case (id, text) =>
+        (id, simhash64(Option(text).getOrElse("").toLowerCase
+          .split("\\s+").toSeq.filter(_.nonEmpty)))
+      }.toDF("doc_id", "simhash")
+    val banded = (0 until 4).map { b =>
+      sims.select(col("doc_id"), col("simhash"),
+        lit(b).as("band"),
+        shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))
+    }.reduce(_ union _)
+    val a = banded.select(col("band"), col("key"), col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+    val b2 = banded.select(col("band"), col("key"), col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+    a.join(b2, Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sh_a", "sh_b")
+      .distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** Embedding cosine near-duplicates: all pairs with cosine ≥ minCosine.
+    * Brute pairwise at test scale; at 100 TB the identical expression runs
+    * inside Similarity.lsh buckets instead of a cross join. */
+  def embeddingNearDups(embeddings: DataFrame, minCosine: Double): DataFrame = {
+    val a = embeddings.select(col("vec_id").as("id_a"), col("embedding").as("e_a"))
+    val b = embeddings.select(col("vec_id").as("id_b"), col("embedding").as("e_b"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", Similarity.cosine(col("e_a"), col("e_b")))
+      .filter(col("cosine") >= minCosine)
+      .select("id_a", "id_b")
+  }
+}

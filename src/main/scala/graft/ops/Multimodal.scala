@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: media as opaque `binary` columns with typed
+  * metadata, decoded/feature-extracted in executor-side batches.
+  *
+  * The actual image/audio codecs are NOT in this container, so the decode
+  * step is a clearly-marked deterministic STUB (`decodeStub`) — what is
+  * real and tested is the Spark-side shape: binary column synthesis,
+  * schema, per-partition batched processing (the mapInPandas/mapPartitions
+  * batch pattern), and metadata extraction that the rest of the pipeline
+  * (chart predicate, media_ref joins) consumes.
+  */
+object Multimodal {
+
+  final case class MediaMeta(media_id: Long, width: Int, height: Int,
+                             format: String, n_bytes: Int, phash: String)
+
+  /** Synthesize a deterministic media table from ids: payload bytes are the
+    * md5 hex of the id repeated; width/height/format derive from the hash —
+    * SQL-expressible, so the DuckDB oracle can regenerate it exactly. */
+  def synthMediaTable(ids: DataFrame): DataFrame =
+    ids.select(
+      col("doc_id").as("media_id"),
+      md5(col("doc_id").cast("string").cast("binary")).as("h"))
+      .select(
+        col("media_id"),
+        repeat(col("h"), 4).cast("binary").as("content"),
+        (conv(substring(col("h"), 1, 2), 16, 10).cast("int") + 16).as("width"),
+        (conv(substring(col("h"), 3, 2), 16, 10).cast("int") + 16).as("height"),
+        when(conv(substring(col("h"), 5, 1), 16, 10).cast("int") % 3 === 0, "png")
+          .when(conv(substring(col("h"), 5, 1), 16, 10).cast("int") % 3 === 1, "jpeg")
+          .otherwise("webp").as("format"))
+
+  /** STUB decode: stands in for an image codec. Deterministic: "decodes"
+    * the payload into metadata + a perceptual-hash stand-in (md5 of bytes).
+    * Runs batched per partition — the real codec would slot in here with
+    * identical schema and batching. */
+  def decodeStub(media: DataFrame): Dataset[MediaMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("content"),
+      col("width"), col("height"), col("format"))
+      .as[(Long, Array[Byte], Int, Int, String)]
+      .mapPartitions { it =>
+        // batch shape: drain the partition in fixed-size batches, the way a
+        // vectorized decoder (mapInPandas / Arrow) would
+        it.grouped(64).flatMap { batch =>
+          batch.map { case (id, bytes, w, h, fmt) =>
+            val md = java.security.MessageDigest.getInstance("MD5")
+            val phash = md.digest(bytes).map("%02x".format(_)).mkString
+            MediaMeta(id, w, h, fmt, bytes.length, phash)
+          }
+        }
+      }
+  }
+}

@@ -1,0 +1,82 @@
+package graft.ops
+
+import graft.corpus.Synth
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Baseline: brute-force cosine top-k with the small query side broadcast
+  * (no shuffle of the corpus). Scale path: random-hyperplane LSH buckets —
+  * the corpus is bucketed once by signature, queries probe only their
+  * bucket, turning the scan into an equi-join. Dot products are codegen'd
+  * `zip_with`/`aggregate` expressions, not UDFs.
+  */
+object Similarity {
+
+  /** Cosine similarity of two float-array columns (computed in double). */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest corpus
+    * vectors (excluding itself). Query side is broadcast; ranking is
+    * deterministic (cosine desc, then vec_id). Output ranks only — FP
+    * noise in the similarity value itself stays out of the contract. */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
+
+  /** Deterministic random hyperplanes: component j of plane p is a unit
+    * normal-ish value from splitmix64 (seeded, reproducible cluster-wide). */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] =
+    Array.tabulate(nPlanes, dim) { (p, j) =>
+      val u = (Synth.splitmix64(seed ^ (p * 1000003L + j)) >>> 11) * 1.1102230246251565e-16
+      u * 2.0 - 1.0
+    }
+
+  /** Sign-random-projection LSH signature (one int bucket key per vector). */
+  def lshBucket(emb: Column, planes: Array[Array[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (plane, i) =>
+      val dot = aggregate(
+        zip_with(emb, lit(plane), (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot >= 0, lit(1 << i)).otherwise(lit(0))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed ANN: corpus and queries hash to sign-projection buckets;
+    * each query searches only its bucket (equi-join on bucket key). With
+    * `nPlanes` = 8 → 256 buckets ⇒ ~256× less work than brute force, at
+    * recall traded by bucket granularity. */
+  def lshAnnTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                 nPlanes: Int = 8, dim: Int = 64,
+                 seed: Long = Synth.DefaultSeed): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val planes = hyperplanes(nPlanes, dim, seed)
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+      lshBucket(col("embedding"), planes).as("bucket"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      lshBucket(col("embedding"), planes).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "bucket", "rank", "neighbor_id")
+  }
+}
