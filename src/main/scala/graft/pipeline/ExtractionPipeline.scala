@@ -34,7 +34,13 @@ object ExtractionPipeline {
       salt: Int = 0,
       oversizedSpanThreshold: Int = 64,
       pagesPerChunk: Int = 16,
-      mode: String = graft.kernel.Router.LayoutAll)
+      mode: String = graft.kernel.Router.LayoutAll,
+      /** Route oversized docs through the explode/reassemble path (adds a
+        * second source scan + shuffle). Worth it when per-page work is
+        * expensive (a real OCR model ~seconds/page, as in the reference);
+        * leave off for cheap kernels where salting alone levels the load —
+        * a 250-page doc costs ~10ms here, far below task granularity. */
+      splitOversized: Boolean = false)
 
   /** Deterministic synthetic corpus as a Dataset — embarrassingly parallel,
     * zero shuffle, no stored input (scales to any nDocs). */
@@ -102,35 +108,45 @@ object ExtractionPipeline {
       pmod(hash($"doc_id") + lit(cfg.salt), lit(cfg.numPartitions)))
       .as[Doc]
 
-    val threshold = cfg.oversizedSpanThreshold
-    val small = salted.filter(d => d.spans == null || d.spans.size <= threshold)
-    val big = salted.filter(d => d.spans != null && d.spans.size > threshold)
-
     val opts = Extract.Options(mode = cfg.mode)
 
-    // fast path: whole doc through the kernel, no further shuffle
-    val smallResults = small.mapPartitions { it =>
-      val pid = TaskContext.getPartitionId()
-      it.map(d => Extract.extractDoc(d, opts).copy(partition_id = pid))
+    if (!cfg.splitOversized) {
+      // single scan, single shuffle: whole doc through the kernel
+      salted.mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        it.map(d => Extract.extractDoc(d, opts).copy(partition_id = pid))
+      }
+    } else {
+      val threshold = cfg.oversizedSpanThreshold
+      val small = salted.filter(d => d.spans == null || d.spans.size <= threshold)
+      val big = salted.filter(d => d.spans != null && d.spans.size > threshold)
+
+      // fast path: whole doc through the kernel, no further shuffle
+      val smallResults = small.mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        it.map(d => Extract.extractDoc(d, opts).copy(partition_id = pid))
+      }
+
+      // skew path: page-aligned chunking -> parallel extraction -> keyed
+      // rebuild; the oversized subset is tiny, so fewer partitions
+      val pagesPerChunk = cfg.pagesPerChunk
+      val bigParts = math.max(8, cfg.numPartitions / 8)
+      val bigResults = big
+        .flatMap(d => chunkDoc(d, pagesPerChunk))
+        .repartition(bigParts,
+          pmod(hash($"doc_id", $"chunk_idx") + lit(cfg.salt), lit(bigParts)))
+        .as[Chunk]
+        .map { c =>
+          val r = Extract.extractDoc(Doc(c.doc_id, c.spans), opts)
+          (c.doc_id, c.chunk_idx, r)
+        }
+        .groupByKey(_._1)
+        .mapGroups { (id, it) =>
+          reassemble(id, it.map(t => (t._2, t._3)).toSeq)
+        }
+
+      smallResults.union(bigResults)
     }
-
-    // skew path: page-aligned chunking -> parallel extraction -> keyed rebuild
-    val pagesPerChunk = cfg.pagesPerChunk
-    val bigResults = big
-      .flatMap(d => chunkDoc(d, pagesPerChunk))
-      .repartition(cfg.numPartitions,
-        pmod(hash($"doc_id", $"chunk_idx") + lit(cfg.salt), lit(cfg.numPartitions)))
-      .as[Chunk]
-      .map { c =>
-        val r = Extract.extractDoc(Doc(c.doc_id, c.spans), opts)
-        (c.doc_id, c.chunk_idx, r)
-      }
-      .groupByKey(_._1)
-      .mapGroups { (id, it) =>
-        reassemble(id, it.map(t => (t._2, t._3)).toSeq)
-      }
-
-    smallResults.union(bigResults)
   }
 
   /** Per-partition lineage/metrics rollup (north rule; FIXTURES.md §5).

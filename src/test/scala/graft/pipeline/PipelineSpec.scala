@@ -35,7 +35,7 @@ class PipelineSpec extends AnyFunSuite {
     val docs = ExtractionPipeline.synthDocs(spark, 60, seed = 99, parallelism = 4).cache()
     val direct = docs.collect().map(d => Extract.extractDoc(d)).toSeq
     val piped = ExtractionPipeline.extract(docs,
-      ExtractionPipeline.Config(numPartitions = 5,
+      ExtractionPipeline.Config(numPartitions = 5, splitOversized = true,
         oversizedSpanThreshold = 3, pagesPerChunk = 2)).collect().toSeq
     assert(canon(piped) == canon(direct))
     docs.unpersist()

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import graft.model.DocResult
+import graft.pipeline.{ExtractionPipeline, SparkTestSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming semantics: AvailableNow incremental extraction is exactly-once
+  * per input file and equivalent to the batch pipeline; stateful running
+  * totals accumulate across micro-batches. */
+class StreamingSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  test("AvailableNow file-stream extraction: incremental, exactly-once, batch-equivalent") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val in = s"$base/in"; val out = s"$base/out"; val cp = s"$base/cp"
+
+    val batch1 = ExtractionPipeline.synthDocs(spark, 40, seed = 11, parallelism = 2)
+    batch1.write.mode("append").parquet(in)
+    StreamingExtract.run(spark, in, out, cp).awaitTermination()
+    val n1 = spark.read.parquet(out).count()
+    assert(n1 == 40)
+
+    // second increment: only the new files are processed on resume
+    val batch2 = ExtractionPipeline.synthDocs(spark, 25, seed = 12, parallelism = 2)
+      .map(d => d.copy(doc_id = "b2_" + d.doc_id))
+    batch2.write.mode("append").parquet(in)
+    StreamingExtract.run(spark, in, out, cp).awaitTermination()
+
+    val streamed = spark.read.parquet(out).as[DocResult].collect()
+    assert(streamed.length == 65, "each doc extracted exactly once across increments")
+    assert(streamed.map(_.doc_id).distinct.length == 65)
+
+    // equivalence with the batch pipeline on the same input
+    val batch = ExtractionPipeline
+      .extract(spark.read.parquet(in).as[graft.model.Doc])
+      .collect()
+    def canon(rs: Seq[DocResult]) =
+      rs.map(r => (r.doc_id, r.spans, r.failure_code)).sortBy(_._1)
+    assert(canon(streamed.toSeq) == canon(batch.toSeq))
+  }
+
+  test("mapGroupsWithState running totals accumulate per source") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(String, Int, Boolean)]
+    val totals = StreamingExtract.runningSourceTotals(stream.toDS())
+    val q = totals.writeStream.format("memory").queryName("totals")
+      .outputMode("update").start()
+    stream.addData(("srcA", 5, true), ("srcA", 3, false), ("srcB", 7, true))
+    q.processAllAvailable()
+    stream.addData(("srcA", 2, true))
+    q.processAllAvailable()
+    val rows = spark.sql("select * from totals").as[StreamingExtract.SourceUpdate]
+      .collect().groupBy(_.source).view.mapValues(_.maxBy(_.n_docs)).toMap
+    assert(rows("srcA") == StreamingExtract.SourceUpdate("srcA", 3, 10, 1))
+    assert(rows("srcB") == StreamingExtract.SourceUpdate("srcB", 1, 7, 0))
+    q.stop()
+  }
+}
