@@ -96,6 +96,32 @@ object SparkEntry {
         .agg(round(avg("k"), 6).as("avg_k"), max("k").as("max_k"))
         .orderBy("event_type")
     }),
+    "q9_source_allowlist" -> ((s, d) => {
+      // P4: document-format allow-list filter (run_batch_benchmark.py:476-502)
+      t(s, d, "documents")
+        .filter(col("source").isin("src1", "src3", "src5", "src7", "src9"))
+        .groupBy("source", "lang").agg(count(lit(1)).as("n_docs"))
+        .orderBy("source", "lang")
+    }),
+    "q10_len_buckets" -> ((s, d) => {
+      // A5: length-bucket rollup (analyze_failures.py:93-125)
+      t(s, d, "documents")
+        .withColumn("len_bucket",
+          when(col("n_chars") < 100, "0-99")
+            .when(col("n_chars") < 250, "100-249")
+            .when(col("n_chars") < 400, "250-399")
+            .otherwise("400+"))
+        .groupBy("len_bucket")
+        .agg(count(lit(1)).as("n_docs"), round(avg("n_chars"), 6).as("avg_chars"))
+        .orderBy("len_bucket")
+    }),
+    "q11_union_distinct" -> ((s, d) => {
+      // E3: union + distinct across sides (compare_prompting_results.py:137)
+      t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+        .union(t(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+        .distinct()
+        .orderBy("nationkey")
+    }),
     // ---- text analysis ----
     "t1_token_count" -> ((s, d) =>
       TextAnalysis.tokenCount(t(s, d, "documents")).orderBy("doc_id")),
@@ -146,6 +172,11 @@ object SparkEntry {
       Multimodal.decodeStub(
         Multimodal.synthMediaTable(t(s, d, "documents").select("doc_id")))
         .toDF().orderBy("media_id")
+    }),
+    "m2_media_resize" -> ((s, d) => {
+      Multimodal.resizeFit(
+        Multimodal.synthMediaTable(t(s, d, "documents").select("doc_id")))
+        .orderBy("media_id")
     }),
     // ---- extraction pipeline (kernel-dependent: rows-only checks) ----
     "x1_extract_spans" -> ((s, d) => {
@@ -359,13 +390,39 @@ object SparkEntry {
         | FROM scored)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "m1_media_meta" ->
-      """SELECT media_id, ('0x' || substr(h,1,2))::INT + 16 AS width,
-        | ('0x' || substr(h,3,2))::INT + 16 AS height,
-        | CASE WHEN ('0x' || substr(h,5,1))::INT % 3 = 0 THEN 'png'
-        |      WHEN ('0x' || substr(h,5,1))::INT % 3 = 1 THEN 'jpeg'
+      """SELECT media_id, ('0x' || substr(h,1,3))::INT + 64 AS width,
+        | ('0x' || substr(h,4,3))::INT + 64 AS height,
+        | CASE WHEN ('0x' || substr(h,7,1))::INT % 3 = 0 THEN 'png'
+        |      WHEN ('0x' || substr(h,7,1))::INT % 3 = 1 THEN 'jpeg'
         |      ELSE 'webp' END AS format,
         | length(repeat(h, 4)) AS n_bytes,
         | md5(repeat(h, 4)) AS phash
         |FROM (SELECT doc_id AS media_id, md5(doc_id::VARCHAR) AS h FROM documents)
-        |ORDER BY media_id""".stripMargin)
+        |ORDER BY media_id""".stripMargin,
+    "m2_media_resize" ->
+      """WITH m AS (SELECT doc_id AS media_id, md5(doc_id::VARCHAR) AS h FROM documents),
+        |mm AS (SELECT media_id, repeat(h,4) AS content,
+        |  ('0x' || substr(h,1,3))::INT + 64 AS width,
+        |  ('0x' || substr(h,4,3))::INT + 64 AS height FROM m)
+        |SELECT media_id, width, height,
+        | floor(width * least(1280.0/width, 1280.0/height, 1.0))::INT AS resized_w,
+        | floor(height * least(1280.0/width, 1280.0/height, 1.0))::INT AS resized_h,
+        | length(to_base64(content::BLOB)) AS b64_len
+        |FROM mm ORDER BY media_id""".stripMargin,
+    "q9_source_allowlist" ->
+      """SELECT source, lang, count(*) AS n_docs FROM documents
+        |WHERE source IN ('src1','src3','src5','src7','src9')
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q10_len_buckets" ->
+      """SELECT CASE WHEN n_chars < 100 THEN '0-99'
+        |            WHEN n_chars < 250 THEN '100-249'
+        |            WHEN n_chars < 400 THEN '250-399'
+        |            ELSE '400+' END AS len_bucket,
+        | count(*) AS n_docs, round(avg(n_chars),6) AS avg_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q11_union_distinct" ->
+      """SELECT DISTINCT nationkey FROM (
+        | SELECT c_nationkey AS nationkey FROM customer
+        | UNION ALL SELECT s_nationkey AS nationkey FROM supplier)
+        |ORDER BY nationkey""".stripMargin)
 }

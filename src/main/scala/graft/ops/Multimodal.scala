@@ -28,11 +28,26 @@ object Multimodal {
       .select(
         col("media_id"),
         repeat(col("h"), 4).cast("binary").as("content"),
-        (conv(substring(col("h"), 1, 2), 16, 10).cast("int") + 16).as("width"),
-        (conv(substring(col("h"), 3, 2), 16, 10).cast("int") + 16).as("height"),
-        when(conv(substring(col("h"), 5, 1), 16, 10).cast("int") % 3 === 0, "png")
-          .when(conv(substring(col("h"), 5, 1), 16, 10).cast("int") % 3 === 1, "jpeg")
+        (conv(substring(col("h"), 1, 3), 16, 10).cast("int") + 64).as("width"),
+        (conv(substring(col("h"), 4, 3), 16, 10).cast("int") + 64).as("height"),
+        when(conv(substring(col("h"), 7, 1), 16, 10).cast("int") % 3 === 0, "png")
+          .when(conv(substring(col("h"), 7, 1), 16, 10).cast("int") % 3 === 1, "jpeg")
           .otherwise("webp").as("format"))
+
+  /** P7: the reference's input-size reduction (resize to fit 1280×1280,
+    * client.py:88-123) as pure column arithmetic — the byte-reducing
+    * projection applied before any shuffle. */
+  def resizeFit(media: DataFrame, maxSide: Int = 1280): DataFrame = {
+    val scale = least(lit(maxSide.toDouble) / col("width"),
+      lit(maxSide.toDouble) / col("height"), lit(1.0))
+    media.select(
+      col("media_id"), col("width"), col("height"),
+      floor(col("width") * scale).cast("int").as("resized_w"),
+      floor(col("height") * scale).cast("int").as("resized_h"),
+      // Spark's base64 is MIME-chunked (CRLF every 76 chars); strip the
+      // breaks so the length matches the canonical RFC 4648 encoding
+      length(regexp_replace(base64(col("content")), "[\\r\\n]", "")).as("b64_len"))
+  }
 
   /** STUB decode: stands in for an image codec. Deterministic: "decodes"
     * the payload into metadata + a perceptual-hash stand-in (md5 of bytes).

@@ -1,0 +1,51 @@
+package graft.sources
+
+import graft.model.{Doc, DocResult}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sources and sinks (SURVEY.md §2.1).
+  *
+  *  - S1/S2: raw page/image files come in through Spark's `binaryFile`
+  *    source as opaque bytes + path metadata (the clean-room stand-in for
+  *    the PDF/image rasterizer front door).
+  *  - S3: corpus tables are parquet reads (`readDocs`).
+  *  - S4/S5: result sinks — parquet partitioned by success for the batch
+  *    results, markdown-ish text per doc (the reference's save_result
+  *    shape, client.py:487-511), JSON metrics.
+  */
+object DocSources {
+
+  /** S3: the Doc table (columnar parquet; pruning + pushdown apply). */
+  def readDocs(spark: SparkSession, path: String): Dataset[Doc] = {
+    import spark.implicits._
+    spark.read.parquet(path).as[Doc]
+  }
+
+  /** S1/S2: binary media files → (path, length, content, base64) rows.
+    * Whole files as opaque bytes; decode happens in ops.Multimodal. */
+  def readBinaryMedia(spark: SparkSession, dir: String, glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(col("path"), col("length"),
+        col("content"), base64(col("content")).as("content_b64"))
+
+  /** S5: batch-result parquet sink, laid out for failure triage. */
+  def writeResults(results: Dataset[DocResult], outDir: String): Unit =
+    results.write.mode(SaveMode.Overwrite)
+      .partitionBy("success")
+      .parquet(outDir)
+
+  /** S5: per-doc markdown text sink — one line per span, reading order,
+    * mirroring the reference's OCR-text markdown dump. */
+  def writeMarkdown(results: Dataset[DocResult], outDir: String): Unit = {
+    val spark = results.sparkSession
+    import spark.implicits._
+    results
+      .map(r => r.doc_id + "\n" +
+        r.spans.map(s => if (s.kind == "Picture") s"![](${s.media_ref})" else s.text)
+          .mkString("\n"))
+      .write.mode(SaveMode.Overwrite).text(outDir)
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import graft.pipeline.{ExtractionPipeline, SparkTestSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression checks: the plans that must hold at 100 TB —
+  * pushdown reaching the scan, small dims broadcast, single shuffle in the
+  * extraction pipeline — asserted, not eyeballed. */
+class PlanSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q9 allow-list filter is pushed to the parquet scan") {
+    val p = planOf("q9_source_allowlist")
+    assert(p.contains("PushedFilters: [In(source"), p.take(800))
+  }
+
+  test("q9 scan is pruned to the two needed columns") {
+    val p = planOf("q9_source_allowlist")
+    assert(p.contains("ReadSchema: struct<lang:string,source:string>"), p.take(800))
+  }
+
+  test("q2 dimension joins are broadcast, not shuffled") {
+    val p = planOf("q2_nation_order_stats")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), "no SMJ expected for dims:\n" + p.take(1200))
+  }
+
+  test("s1 query side is broadcast") {
+    val p = planOf("s1_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(1200))
+  }
+
+  test("extraction pipeline has exactly one shuffle (the salting exchange)") {
+    import spark.implicits._
+    val docs = ExtractionPipeline.synthDocs(spark, 100, parallelism = 4)
+    val results = ExtractionPipeline.extract(docs)
+    val plan = results.queryExecution.executedPlan.toString
+    val exchanges = "ShuffleExchange|Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 exchange, plan:\n${plan.take(1500)}")
+  }
+
+  test("q1 aggregation is a partial/final hash agg over a pruned scan") {
+    val p = planOf("q1_lineitem_rollup")
+    assert(p.contains("HashAggregate"))
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double," +
+      "l_returnflag:string,l_linestatus:string>")
+      || p.contains("l_returnflag"), p.take(900))
+  }
+}
