@@ -1,0 +1,92 @@
+package graft.ops
+
+import graft.pipeline.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic sanity for the training-data ops over the driver testdata. */
+class OpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+  private def emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("ngram jaccard finds the planted near-duplicate pairs and they agree with simhash") {
+    val jac = Dedup.ngramJaccardPairs(docs, minJaccard = 0.5).collect()
+    assert(jac.nonEmpty, "testdata plants near-dups; d2 must find them")
+    assert(jac.forall(r => r.getAs[Double]("jaccard") >= 0.5))
+    val sim = Dedup.simhashPairs(docs, maxHamming = 6).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val jacPairs = jac.map(r => (r.getAs[Long]("doc_a").toString, r.getAs[Long]("doc_b").toString))
+    val overlap = jacPairs.count(sim.contains)
+    assert(overlap >= jacPairs.length / 2,
+      s"simhash should rediscover most jaccard dups: $overlap/${jacPairs.length}")
+  }
+
+  test("LSH candidates superset check: every high-jaccard pair appears in LSH pairs") {
+    val sigs = Dedup.minhashSignatures(docs)
+    val lsh = Dedup.lshNearDupPairs(sigs, minEstJaccard = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val strong = Dedup.ngramJaccardPairs(docs, minJaccard = 0.9).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(strong.nonEmpty)
+    val found = strong.count(lsh.contains)
+    assert(found >= strong.length * 0.8,
+      s"LSH recall too low on ~identical docs: $found/${strong.length}")
+  }
+
+  test("exact dedup keeps one keeper per hash and conserves doc count") {
+    val d = Dedup.exactDedup(docs).collect()
+    assert(d.map(_.getAs[Long]("n_docs")).sum == docs.count())
+  }
+
+  test("brute-force top-k and LSH ANN agree on bucketed neighbors") {
+    val brute = Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(brute.length == 40) // 8 queries × k
+    // rank 1 per query is unique and not the query itself
+    val top1 = brute.filter(_._2 == 1)
+    assert(top1.length == 8)
+    assert(top1.forall { case (q, _, n) => q != n })
+    val ann = Similarity.lshAnnTopK(emb, emb.filter(col("vec_id") < 8), k = 5).collect()
+    assert(ann.nonEmpty)
+  }
+
+  test("language ID picks en for the synthetic corpus (en markers present)") {
+    val l = TextAnalysis.langId(docs).groupBy("lang_id").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(l.getOrElse("en", 0L) > 0)
+  }
+
+  test("quality score ratios are bounded and labels assigned") {
+    val q = TextAnalysis.qualityScore(docs).collect()
+    q.foreach { r =>
+      val pr = r.getAs[Double]("punct_ratio")
+      val sr = r.getAs[Double]("stopword_ratio")
+      assert(pr >= 0 && pr <= 1)
+      assert(sr >= 0 && sr <= 1)
+      assert(Set("ok", "too_short", "suspicious").contains(r.getAs[String]("quality_label")))
+    }
+  }
+
+  test("media decode stub preserves synthesized metadata") {
+    val meta = Multimodal.decodeStub(Multimodal.synthMediaTable(docs.select("doc_id")))
+      .collect()
+    assert(meta.length == docs.count())
+    assert(meta.forall(m => m.n_bytes == 128 && m.phash.length == 32))
+    assert(meta.forall(m => m.width >= 64 && m.height >= 64))
+  }
+
+  test("resizeFit never exceeds the bounding box and preserves aspect direction") {
+    val r = Multimodal.resizeFit(Multimodal.synthMediaTable(docs.select("doc_id")))
+      .collect()
+    r.foreach { row =>
+      val (w, h) = (row.getAs[Int]("width"), row.getAs[Int]("height"))
+      val (rw, rh) = (row.getAs[Int]("resized_w"), row.getAs[Int]("resized_h"))
+      assert(rw <= 1280 && rh <= 1280)
+      if (w <= 1280 && h <= 1280) assert(rw == w && rh == h)
+      else assert(rw == 1280 || rh == 1280 || math.max(rw, rh) >= 1279)
+    }
+  }
+}
