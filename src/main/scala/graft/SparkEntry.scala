@@ -345,8 +345,7 @@ object SparkEntry {
         |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
     "d3_minhash_sig" -> {
       val mins = (0 until 16).map(i =>
-        s"min(('0x' || substr(md5('$i:' || shingle), 1, 15))::BIGINT) AS mh${"%02d".format(i)}")
-        .mkString(",\n  ")
+        s"min(h1 + $i * h2) AS mh${"%02d".format(i)}").mkString(",\n  ")
       s"""WITH toks AS (SELECT doc_id,
          |  list_filter(regexp_split_to_array(trim(lower(text)),'\\s+'), x -> x <> '') AS toks
          | FROM documents),
@@ -354,10 +353,12 @@ object SparkEntry {
          |   generate_series(1, len(toks)-2),
          |   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
          | FROM toks WHERE len(toks) >= 3),
-         |r AS (SELECT doc_id, unnest(sh) AS shingle FROM sh)
+         |r AS (SELECT doc_id, md5(unnest(sh)) AS m FROM sh),
+         |h AS (SELECT doc_id, ('0x' || substr(m,1,15))::BIGINT AS h1,
+         |             ('0x' || substr(m,16,14))::BIGINT AS h2 FROM r)
          |SELECT doc_id,
          |  $mins
-         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
+         |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
     "d5_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings)

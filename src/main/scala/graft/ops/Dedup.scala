@@ -69,21 +69,22 @@ object Dedup {
       .select("doc_a", "doc_b", "n_common", "jaccard")
   }
 
-  /** Deterministic 60-bit hash of a shingle under hash-function index `i`,
-    * shared bit-for-bit with the DuckDB oracle: first 15 hex chars of
-    * md5("<i>:<shingle>"). */
-  private def mh(i: Int, shingle: Column): Column =
-    conv(substring(md5(concat(lit(s"$i:"), shingle).cast("binary")), 1, 15), 16, 10)
-      .cast("long")
-
-  /** MinHash signatures: k 60-bit min-hashes per document — the compressed
-    * similarity sketch (Broder '97). One groupBy, k min() aggregates. */
+  /** MinHash signatures: k 61-bit min-hashes per document — the compressed
+    * similarity sketch (Broder '97). One md5 per shingle, expanded to the k
+    * hash functions by Kirsch-Mitzenmacher double hashing
+    * h_i = h1 + i·h2 (h1 = 60-bit, h2 = 56-bit md5 halves — no int64
+    * overflow, shared bit-for-bit with the DuckDB oracle). One groupBy,
+    * k min() aggregates. */
   def minhashSignatures(docs: DataFrame, k: Int = 16,
                         textCol: String = "text", n: Int = 3): DataFrame = {
     val rows = shingleRows(docs, textCol, n)
+      .withColumn("__md5", md5(col("shingle").cast("binary")))
+      .withColumn("__h1", conv(substring(col("__md5"), 1, 15), 16, 10).cast("long"))
+      .withColumn("__h2", conv(substring(col("__md5"), 16, 14), 16, 10).cast("long"))
     rows.groupBy("doc_id")
-      .agg(min(mh(0, col("shingle"))).as("mh00"),
-        (1 until k).map(i => min(mh(i, col("shingle"))).as(f"mh$i%02d")): _*)
+      .agg(min(col("__h1")).as("mh00"),
+        (1 until k).map(i =>
+          min(col("__h1") + lit(i.toLong) * col("__h2")).as(f"mh$i%02d")): _*)
   }
 
   /** LSH candidate pairs from banded MinHash signatures: `bands` bands of
@@ -169,11 +170,16 @@ object Dedup {
     * Brute pairwise at test scale; at 100 TB the identical expression runs
     * inside Similarity.lsh buckets instead of a cross join. */
   def embeddingNearDups(embeddings: DataFrame, minCosine: Double): DataFrame = {
-    val a = embeddings.select(col("vec_id").as("id_a"), col("embedding").as("e_a"))
-    val b = embeddings.select(col("vec_id").as("id_b"), col("embedding").as("e_b"))
+    val withNorm = embeddings.select(col("vec_id"), col("embedding"),
+      Similarity.normCol(col("embedding")).as("nrm"))
+    val a = withNorm.select(col("vec_id").as("id_a"), col("embedding").as("e_a"),
+      col("nrm").as("n_a"))
+    val b = withNorm.select(col("vec_id").as("id_b"), col("embedding").as("e_b"),
+      col("nrm").as("n_b"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", Similarity.cosine(col("e_a"), col("e_b")))
+      .withColumn("cosine",
+        Similarity.dotUdf(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")))
       .filter(col("cosine") >= minCosine)
       .select("id_a", "id_b")
   }

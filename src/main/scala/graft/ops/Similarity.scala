@@ -22,17 +22,37 @@ object Similarity {
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 
+  /** Sequential-order double dot product as a tight-loop UDF. The Catalyst
+    * `aggregate(zip_with(...))` form materializes a 64-element struct array
+    * PER PAIR — at 2M candidate pairs that is the whole runtime. The loop
+    * allocates nothing and keeps strict left-to-right summation, so results
+    * are bit-identical to the SQL oracle's list_sum. */
+  val dotUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (a: Seq[Float], b: Seq[Float]) =>
+      var s = 0.0
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+
+  /** Euclidean norm column via the same strict summation. */
+  def normCol(emb: Column): Column = sqrt(dotUdf(emb, emb))
+
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors (excluding itself). Query side is broadcast; ranking is
     * deterministic (cosine desc, then vec_id). Output ranks only — FP
     * noise in the similarity value itself stays out of the contract. */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      normCol(col("embedding")).as("q_norm"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+      normCol(col("embedding")).as("c_norm"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("cos",
+        dotUdf(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -68,12 +88,15 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val planes = hyperplanes(nPlanes, dim, seed)
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+      normCol(col("embedding")).as("c_norm"),
       lshBucket(col("embedding"), planes).as("bucket"))
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      normCol(col("embedding")).as("q_norm"),
       lshBucket(col("embedding"), planes).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("cos",
+        dotUdf(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
