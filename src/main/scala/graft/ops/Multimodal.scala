@@ -49,6 +49,64 @@ object Multimodal {
       length(regexp_replace(base64(col("content")), "[\\r\\n]", "")).as("b64_len"))
   }
 
+  /** Deterministic synthetic page raster: a real PNG (JDK ImageIO, headless)
+    * whose pixels are a seeded gradient — lets the crop path run against
+    * genuine image bytes with no external codec. */
+  def renderPng(seed: Long, width: Int, height: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val v = graft.corpus.Synth.splitmix64(seed ^ (y.toLong << 20) ^ x.toLong)
+        img.setRGB(x, y, (v & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** F8: bbox crop of a page image (reference tests/test_single_page.py:51-67
+    * — PIL crop + PNG re-encode), on the JVM via ImageIO. Returns re-encoded
+    * PNG bytes of the region, or None if the bytes don't decode. */
+  def cropRegion(pngBytes: Array[Byte], x1: Int, y1: Int, x2: Int, y2: Int): Option[Array[Byte]] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(pngBytes))
+      if (img == null) None
+      else {
+        val cx1 = math.max(0, x1); val cy1 = math.max(0, y1)
+        val cx2 = math.min(img.getWidth, x2); val cy2 = math.min(img.getHeight, y2)
+        if (cx2 <= cx1 || cy2 <= cy1) None
+        else {
+          val sub = img.getSubimage(cx1, cy1, cx2 - cx1, cy2 - cy1)
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(sub, "png", out)
+          Some(out.toByteArray)
+        }
+      }
+    } catch { case _: Exception => None }
+
+  /** Crop chart regions out of real page rasters: (media_id, bbox) rows →
+    * (media_id, crop_w, crop_h, crop_bytes). Runs as a typed map — the
+    * ImageIO codec is executor-side, batched per partition. */
+  def cropCharts(pages: Dataset[(Long, Array[Byte], Int, Int, Int, Int)])
+  : Dataset[(Long, Int, Int, Array[Byte])] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.mapPartitions { it =>
+      it.flatMap { case (id, bytes, x1, y1, x2, y2) =>
+        cropRegion(bytes, x1, y1, x2, y2).map { cropped =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(cropped))
+          (id, img.getWidth, img.getHeight, cropped)
+        }
+      }
+    }
+  }
+
   /** STUB decode: stands in for an image codec. Deterministic: "decodes"
     * the payload into metadata + a perceptual-hash stand-in (md5 of bytes).
     * Runs batched per partition — the real codec would slot in here with

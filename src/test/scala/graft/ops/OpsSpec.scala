@@ -8,6 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class OpsSpec extends AnyFunSuite {
 
   private lazy val spark = SparkTestSession.spark
+  private object SparkTestSessionImport { lazy val spark = SparkTestSession.spark }
   private val sf = "/root/testdata/sf0.001"
   private def docs = spark.read.parquet(s"$sf/documents.parquet")
   private def emb = spark.read.parquet(s"$sf/embeddings.parquet")
@@ -76,6 +77,32 @@ class OpsSpec extends AnyFunSuite {
     assert(meta.length == docs.count())
     assert(meta.forall(m => m.n_bytes == 128 && m.phash.length == 32))
     assert(meta.forall(m => m.width >= 64 && m.height >= 64))
+  }
+
+  test("real PNG render + bbox crop roundtrip (F8)") {
+    val png = Multimodal.renderPng(seed = 7, width = 200, height = 120)
+    assert(png.length > 100)
+    val crop = Multimodal.cropRegion(png, 50, 30, 150, 90)
+    assert(crop.isDefined)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(crop.get))
+    assert(img.getWidth == 100 && img.getHeight == 60)
+    // deterministic: same seed -> same bytes
+    assert(Multimodal.renderPng(7, 200, 120).toSeq == png.toSeq)
+    // degenerate boxes rejected
+    assert(Multimodal.cropRegion(png, 190, 110, 500, 500).isDefined) // clamped
+    assert(Multimodal.cropRegion(png, 300, 300, 400, 400).isEmpty)
+    assert(Multimodal.cropRegion(Array[Byte](1, 2, 3), 0, 0, 10, 10).isEmpty)
+  }
+
+  test("distributed chart crop over real rasters") {
+    import SparkTestSessionImport.spark.implicits._
+    val rows = (0L until 12L).map { i =>
+      (i, Multimodal.renderPng(i, 160, 160), 10, 10, 110, 90)
+    }
+    val ds = SparkTestSessionImport.spark.createDataset(rows)
+    val out = Multimodal.cropCharts(ds).collect()
+    assert(out.length == 12)
+    assert(out.forall { case (_, w, h, b) => w == 100 && h == 80 && b.length > 50 })
   }
 
   test("resizeFit never exceeds the bounding box and preserves aspect direction") {

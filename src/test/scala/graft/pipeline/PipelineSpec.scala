@@ -91,6 +91,14 @@ class PipelineSpec extends AnyFunSuite {
     docs.unpersist()
   }
 
+  test("partition probe returns a best config (A9)") {
+    val docs = ExtractionPipeline.synthDocs(spark, 40, seed = 21, parallelism = 2)
+    val probes = Tuning.probePartitioning(docs, Seq(2, 4))
+    assert(probes.size == 2)
+    assert(probes.forall(_.nDocs == 40))
+    assert(Seq(2, 4).contains(Tuning.best(probes).numPartitions))
+  }
+
   test("synth corpus is deterministic and heavy-tailed") {
     val a = (0L until 500L).map(Synth.docFor(Synth.DefaultSeed, _))
     val b = (0L until 500L).map(Synth.docFor(Synth.DefaultSeed, _))
