@@ -31,16 +31,33 @@ object Dedup {
       .agg(min(col("doc_id")).as("keeper_doc_id"),
         count(lit(1)).as("n_docs"))
 
-  /** Distinct word `n`-gram shingles of a text column (codegen'd higher-
-    * order functions, no UDF). Docs shorter than n tokens get no shingles. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = TextAnalysis.tokens(lower(text))
-    array_distinct(
-      when(size(toks) >= n,
-        transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
-        .otherwise(array().cast("array<string>")))
+  /** Distinct word `n`-gram shingles of a text column, single pass.
+    *
+    * NOT a higher-order-function expression: CollapseProject inlines the
+    * tokenizing `split()` into every `element_at` inside the lambda, so the
+    * HOF form re-tokenizes each document ~3×#shingles times (measured 30s+
+    * on 5k docs). The UDF tokenizes once per row. Semantics are identical
+    * to the DuckDB oracle: lower/trim, split \s+, drop empties, join with
+    * single spaces, distinct (first occurrence order). */
+  private val shinglesUdf = udf { (text: String, n: Int) =>
+    val toks = Option(text).getOrElse("").toLowerCase.trim
+      .split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) Array.empty[String]
+    else {
+      val seen = new java.util.LinkedHashSet[String]()
+      var i = 0
+      while (i + n <= toks.length) {
+        val sb = new StringBuilder(toks(i))
+        var j = 1
+        while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+        seen.add(sb.toString)
+        i += 1
+      }
+      seen.toArray(new Array[String](seen.size))
+    }
   }
+
+  def shingles(text: Column, n: Int = 3): Column = shinglesUdf(text, lit(n))
 
   /** Exploded (doc_id, shingle, n_shingles) — the self-join input. */
   def shingleRows(docs: DataFrame, textCol: String = "text", n: Int = 3): DataFrame = {
