@@ -29,15 +29,22 @@ object Scoring {
     * again (run_batch_benchmark.py:73-79). */
   def parseMaybeDoubleEncoded(s: String): JsonNode = {
     val first = mapper.readTree(s)
-    if (first != null && first.isTextual) mapper.readTree(first.asText()) else first
+    if (first != null && first.isTextual) {
+      try mapper.readTree(first.asText())
+      catch { case _: Exception => first } // plain string, not JSON-in-JSON
+    } else first
   }
 
+  /** Python-equality normalization: strings strip+lower and never equal
+    * numbers ("2" != 2); 2 == 2.0; True == 1 (bool is int in Python). The
+    * type tag keeps cross-type values distinct. */
   private def norm(n: JsonNode): String =
     if (n == null || n.isNull) "null"
-    else if (n.isTextual) n.asText().trim.toLowerCase
+    else if (n.isTextual) "s:" + n.asText().trim.toLowerCase
+    else if (n.isBoolean) "n:" + (if (n.asBoolean()) "1" else "0")
     else if (n.isNumber) {
-      val d = n.asDouble() // 2 == 2.0, like Python's ==
-      if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString else d.toString
+      val d = n.asDouble()
+      "n:" + (if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString else d.toString)
     } else n.toString
 
   private def raw(n: JsonNode): String =
