@@ -91,6 +91,11 @@ object Boilerplate {
     root
   }
 
+  // precompiled: this runs once per tag; a method-local Regex would
+  // recompile the pattern every call (measured 3x page cost)
+  private val attrRe =
+    """([A-Za-z_:][-A-Za-z0-9_:.]*)\s*=\s*("([^"]*)"|'([^']*)'|([^\s"'>]+))""".r
+
   private def parseTagInner(inner: String): (String, Map[String, String]) = {
     val trimmed = inner.trim
     val sp = trimmed.indexWhere(_.isWhitespace)
@@ -98,7 +103,6 @@ object Boilerplate {
     else {
       val name = trimmed.substring(0, sp).toLowerCase
       val attrs = Map.newBuilder[String, String]
-      val attrRe = """([A-Za-z_:][-A-Za-z0-9_:.]*)\s*=\s*("([^"]*)"|'([^']*)'|([^\s"'>]+))""".r
       for (m <- attrRe.findAllMatchIn(trimmed.substring(sp))) {
         val v = Option(m.group(3)).orElse(Option(m.group(4))).orElse(Option(m.group(5))).getOrElse("")
         attrs += m.group(1).toLowerCase -> v
@@ -154,10 +158,13 @@ object Boilerplate {
 
   private val headingRe = "^h([1-6])$".r
 
+  private val wsRun = java.util.regex.Pattern.compile("\\s+")
+
   def innerText(node: Node): String = node match {
     case TextNode(t) => t
     case Tag(name, _, _) if rawTextTags.contains(name) => ""
-    case Tag(_, _, ch) => ch.map(innerText).mkString(" ").replaceAll("\\s+", " ").trim
+    case Tag(_, _, ch) =>
+      wsRun.matcher(ch.map(innerText).mkString(" ")).replaceAll(" ").trim
   }
 
   /** Deterministic synthesized page geometry: 1280-wide page, 80px margins,
@@ -190,7 +197,7 @@ object Boilerplate {
     var inHeader = false
     def walk(node: Node): Unit = node match {
       case TextNode(t) =>
-        val s = t.replaceAll("\\s+", " ").trim
+        val s = wsRun.matcher(t).replaceAll(" ").trim
         if (s.nonEmpty) emit("Text", s)
       case tag @ Tag(name, attrs, children) =>
         if (isBoilerplate(tag) && name != "header" && name != "footer") return

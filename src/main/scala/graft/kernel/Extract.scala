@@ -80,6 +80,8 @@ object Extract {
     pages.result()
   }
 
+  private val tagRe = java.util.regex.Pattern.compile("<[a-zA-Z][^>]*>")
+
   /** Sniff page-source format. Layout JSON pages contain a recoverable array
     * of {bbox, category} objects; HTML pages contain real tags; everything
     * else is markdown/plain text. */
@@ -88,7 +90,7 @@ object Extract {
     val arr = t.indexOf('[')
     if (arr >= 0 && t.indexOf("\"bbox\"", arr) > arr && t.indexOf("\"category\"", arr) > arr)
       "layout-json"
-    else if ("""<[a-zA-Z][^>]*>""".r.findFirstIn(t).isDefined) "html"
+    else if (tagRe.matcher(t).find()) "html"
     else "markdown"
   }
 
