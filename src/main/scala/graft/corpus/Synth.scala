@@ -57,9 +57,12 @@ object Synth {
     }
 
   /** Generate a model-style layout JSON array with stacked + same-line
-    * geometry; returns the raw page-source text (possibly prefixed with
-    * prose or truncated, like real generations). */
+    * geometry; ~20% of pages are two-column with the columns' elements
+    * interleaved in the array (so reading-order reconstruction is
+    * non-trivial, not a pass-through). May be prefixed with prose or
+    * truncated, like real generations. */
   def layoutJsonPage(r: Rng): String = {
+    if (r.nextInt(5) == 0) return twoColumnPage(r)
     val n = 3 + r.nextInt(10)
     var y = 80.0 + r.nextInt(60)
     val parts = Vector.newBuilder[String]
@@ -98,6 +101,33 @@ object Synth {
         body.substring(0, (body.length * (0.5 + 0.4 * r.nextDouble())).toInt.max(2))
       case _ => body
     }
+  }
+
+  /** Two-column page: a full-width title, then left/right columns whose
+    * elements are interleaved in array order — XY-cut must split the
+    * columns and read left before right. */
+  private def twoColumnPage(r: Rng): String = {
+    val parts = Vector.newBuilder[String]
+    parts += s"""{"bbox": [80, 60, 1200, 110], "category": "Title", "text": "${jsonEscape(sentence(r, 4))}"}"""
+    val nPerCol = 2 + r.nextInt(4) // balanced columns: both sides run the
+    // full column height, so the XY-cut row-span gate sees real columns
+    def column(x1: Int, x2: Int): Vector[String] = {
+      var y = 150.0
+      val out = Vector.newBuilder[String]
+      (0 until nPerCol).foreach { _ =>
+        val h = 40 + r.nextInt(80)
+        val cat = if (r.nextInt(4) == 0) "List-item" else "Text"
+        out += s"""{"bbox": [$x1, ${y.toInt}, $x2, ${(y + h).toInt}], "category": "$cat", "text": "${jsonEscape(sentence(r, 6 + r.nextInt(10)))}"}"""
+        y += h + 16 + r.nextInt(20)
+      }
+      out.result()
+    }
+    val left = column(80, 580)
+    val right = column(700, 1200)
+    // interleave so array order != reading order
+    val mixed = left.zipAll(right, "", "").flatMap { case (a, b) => Seq(a, b) }
+      .filter(_.nonEmpty)
+    (parts.result() ++ mixed).mkString("[", ", ", "]")
   }
 
   private object Tables {

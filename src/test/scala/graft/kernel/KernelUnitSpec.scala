@@ -236,6 +236,31 @@ class KernelUnitSpec extends AnyFunSuite {
     assert(!Boilerplate.isBoilerplate(texty))
   }
 
+  // ---- synthetic two-column pages order columns correctly ----
+  test("synth two-column layout pages read left column before right") {
+    // find a few two-column synth pages and check column order survives
+    val r = new graft.corpus.Synth.Rng(123)
+    var checked = 0
+    var guard = 0
+    while (checked < 5 && guard < 500) {
+      guard += 1
+      val page = graft.corpus.Synth.layoutJsonPage(r)
+      val out = LayoutJson.parse(page)
+      // two-column pages: >=5 elements, first is full-width Title, columns at x=80/700
+      val looksTwoCol = out.elements.count(_.x1 == 700.0) >= 2 &&
+        out.elements.count(_.x1 == 80.0) >= 2 && out.failureCode == graft.model.FailureCodes.Ok
+      if (looksTwoCol) {
+        val ordered = ReadingOrder.order(out.elements)
+        val colMarks = ordered.filter(e => e.x1 == 80.0 || e.x1 == 700.0)
+          .map(e => if (e.x1 == 80.0) 'L' else 'R').mkString
+        assert("^L+R+$".r.findFirstIn(colMarks).isDefined,
+          s"columns interleaved: $colMarks for page:\n$page")
+        checked += 1
+      }
+    }
+    assert(checked >= 5, s"only $checked two-column pages found")
+  }
+
   // ---- classify ----
   test("page source sniffing") {
     assert(Extract.classify("""[{"bbox":[1,2,3,4],"category":"Text","text":"x"}]""") == "layout-json")
