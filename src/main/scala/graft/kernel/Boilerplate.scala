@@ -126,15 +126,29 @@ object Boilerplate {
     def linkDensity: Double = if (textLen == 0) 1.0 else linkTextLen.toDouble / textLen
   }
 
-  def stats(node: Node): Stats = node match {
-    case TextNode(t) => Stats(t.trim.length, 0, 0)
-    case Tag(name, _, children) =>
-      val base = children.foldLeft(Stats(0, 0, 1)) { (acc, ch) =>
-        val s = stats(ch)
-        Stats(acc.textLen + s.textLen, acc.linkTextLen + s.linkTextLen,
-          acc.tagCount + s.tagCount)
-      }
-      if (name == "a") base.copy(linkTextLen = base.textLen) else base
+  def stats(node: Node): Stats = statsMemo(node, null)
+
+  /** Subtree stats with optional memo: the extractor walks every level of
+    * the tree and asks for stats at each tag, which is O(depth·n) without
+    * memoization (measured on deep pages). */
+  private def statsMemo(node: Node,
+                        memo: java.util.IdentityHashMap[Node, Stats]): Stats = {
+    if (memo != null) {
+      val hit = memo.get(node)
+      if (hit != null) return hit
+    }
+    val out = node match {
+      case TextNode(t) => Stats(t.trim.length, 0, 0)
+      case Tag(name, _, children) =>
+        val base = children.foldLeft(Stats(0, 0, 1)) { (acc, ch) =>
+          val s = statsMemo(ch, memo)
+          Stats(acc.textLen + s.textLen, acc.linkTextLen + s.linkTextLen,
+            acc.tagCount + s.tagCount)
+        }
+        if (name == "a") base.copy(linkTextLen = base.textLen) else base
+    }
+    if (memo != null) memo.put(node, out)
+    out
   }
 
   private val genericContainers = Set("div", "section", "span")
@@ -143,12 +157,15 @@ object Boilerplate {
     * link-dense low-text blocks are dropped; main/article always kept. The
     * bare text-density floor applies only to generic containers — semantic
     * content tags (ul, table, p, h*) are legitimate even when terse. */
-  def isBoilerplate(t: Tag): Boolean = {
+  def isBoilerplate(t: Tag): Boolean = isBoilerplateMemo(t, null)
+
+  private def isBoilerplateMemo(
+      t: Tag, memo: java.util.IdentityHashMap[Node, Stats]): Boolean = {
     if (t.name == "main" || t.name == "article") return false
     if (chromeTags.contains(t.name)) return true
     val cls = t.attrs.getOrElse("class", "") + " " + t.attrs.getOrElse("id", "")
     if (chromeClassRe.findFirstIn(cls).isDefined) return true
-    val s = stats(t)
+    val s = statsMemo(t, memo)
     (s.linkDensity > 0.5 && s.textLen < 200) ||
       (genericContainers.contains(t.name) &&
         s.textLen < 25 && s.density < 10 && s.textLen > 0)
@@ -187,6 +204,7 @@ object Boilerplate {
     * HTML-ish page. */
   def extract(html: String): Vector[Element] = {
     val root = parseHtml(html)
+    val statsCache = new java.util.IdentityHashMap[Node, Stats]()
     val out = Vector.newBuilder[Element]
     val layout = new Layout
     def emit(category: String, text: String, mediaRef: String = "", lines: Int = -1): Unit = {
@@ -200,7 +218,7 @@ object Boilerplate {
         val s = wsRun.matcher(t).replaceAll(" ").trim
         if (s.nonEmpty) emit("Text", s)
       case tag @ Tag(name, attrs, children) =>
-        if (isBoilerplate(tag) && name != "header" && name != "footer") return
+        if (isBoilerplateMemo(tag, statsCache) && name != "header" && name != "footer") return
         name match {
           case "header" =>
             inHeader = true
