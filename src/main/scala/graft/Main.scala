@@ -53,8 +53,11 @@ object Main {
         val out = arg(args, "out").get
         val results = ExtractionPipeline.extract(DocSources.readDocs(spark, in), cfg)
         DocSources.writeResults(results, out)
+        // re-read for metrics (results would otherwise recompute); the
+        // partition dir column comes back as STRING, so cast it
         ExtractionPipeline.partitionMetrics(
-            spark.read.parquet(out).selectExpr("doc_id", "spans", "success",
+            spark.read.parquet(out).selectExpr("doc_id", "spans",
+              "cast(success as boolean) as success",
               "failure_code", "n_spans", "n_pages", "partition_id", "kernel_nanos")
               .as[graft.model.DocResult](org.apache.spark.sql.Encoders.product),
             snapshotId = 0)
