@@ -83,7 +83,7 @@ object Bench {
     // size. Both pairs are reported in BASELINE.md.
     val nLo = sys.env.getOrElse("SPARK_GRAFT_N_LO", "2").toInt
     val nHi = sys.env.getOrElse("SPARK_GRAFT_N_HI", "8").toInt
-    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "400000").toLong
+    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "300000").toLong
     // task granularity: 2 waves at the high level — big enough tasks that
     // the single-threaded DAGScheduler dispatch loop stays off the critical
     // path (512 micro-tasks cost ~1-2s of pure driver time)
@@ -188,10 +188,11 @@ object BenchWorker {
     }
     def gcPause(): Unit = { System.gc(); Thread.sleep(300) }
     onePass(); gcPause(); onePass(); gcPause() // warmup (C2)
-    val timed = (1 to 5).map { _ => val r = onePass(); gcPause(); r }
+    val timed = (1 to 3).map { _ => val r = onePass(); gcPause(); r }
     System.err.println(s"DEBUG timed walls: ${timed.map(t => f"${t._1}%.2f").mkString(", ")}")
-    // best-of-5: peak sustained throughput, robust to GC/host noise in a
-    // shared sandbox (each pass is a full 400k-doc job, not a microbench)
+    // best-of-3: peak sustained throughput, robust to GC/host noise in a
+    // shared sandbox (each pass is a full multi-hundred-k-doc job, not a
+    // microbench); ~6 min total keeps the per-round driver bench safe
     val best = timed.minBy(_._1)
     val (wall, nDocs, nPages, nSpans) = best
     val totalSec = (System.nanoTime() - tTotal0) / 1e9
