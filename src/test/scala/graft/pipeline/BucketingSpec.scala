@@ -18,6 +18,20 @@ class BucketingSpec extends AnyFunSuite {
 
     spark.sql("DROP TABLE IF EXISTS results_b")
     spark.sql("DROP TABLE IF EXISTS golden_b")
+    // a fresh in-memory catalog can orphan warehouse dirs from a previous
+    // JVM — clear them or CTAS refuses the location
+    val wh = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:"))
+    Seq("results_b", "golden_b").foreach { t =>
+      val d = new java.io.File(wh, t)
+      if (d.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(d)
+      }
+    }
     results.write.bucketBy(8, "doc_id").sortBy("doc_id")
       .mode("overwrite").saveAsTable("results_b")
     results.select($"doc_id", $"n_spans".as("want_spans"))
