@@ -122,6 +122,53 @@ object SparkEntry {
         .distinct()
         .orderBy("nationkey")
     }),
+    "q12_region_revenue" -> ((s, d) => {
+      // multi-way star join: facts shuffle once on the join key, every
+      // dimension small enough to broadcast is broadcast (AQE confirms)
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+            .as("revenue"))
+        .orderBy("r_name")
+    }),
+    "q13_part_type_stats" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part").select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_type")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum("l_quantity"), 4).as("sum_qty"),
+          round(avg("l_extendedprice"), 4).as("avg_price"))
+        .orderBy("p_type")
+    }),
+    // ---- routing / grounding (P5/P2 as whole-corpus queries) ----
+    "r1_smart_routing" -> ((s, d) => {
+      import graft.ops.Routing
+      t(s, d, "documents").select(col("doc_id"))
+        .withColumn("format", Routing.formatOf(col("doc_id")))
+        .withColumn("quality", Routing.qualityOf(col("doc_id")))
+        .withColumn("route", Routing.routeOf(col("format"), col("quality")))
+        .withColumn("allowed", Routing.allowedOf(col("format")).cast("int"))
+        .groupBy("format", "quality", "route", "allowed")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("format", "quality")
+    }),
+    "r2_grounding_check" -> ((s, d) => {
+      import graft.ops.Routing
+      t(s, d, "documents").select(col("doc_id"))
+        .withColumn("mode", Routing.routeOf(
+          Routing.formatOf(col("doc_id")), Routing.qualityOf(col("doc_id"))))
+        .withColumn("bbox_len", Routing.bboxLenOf(col("doc_id")))
+        .withColumn("failure_code",
+          Routing.groundingFailure(col("mode"), col("bbox_len")))
+        .select("doc_id", "mode", "bbox_len", "failure_code")
+        .orderBy("doc_id")
+    }),
     // ---- text analysis ----
     "t1_token_count" -> ((s, d) =>
       TextAnalysis.tokenCount(t(s, d, "documents")).orderBy("doc_id")),
@@ -143,7 +190,11 @@ object SparkEntry {
     "d1_exact_dedup" -> ((s, d) =>
       Dedup.exactDedup(t(s, d, "documents")).orderBy("content_hash")),
     "d2_ngram_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccardPairs(t(s, d, "documents"), minJaccard = 0.5)
+      // maxDocFreq=64: the scale guard on the shingle self-join (shingles
+      // shared by >64 docs are dropped from candidate generation; the
+      // oracle CTE applies the same cap)
+      Dedup.ngramJaccardPairs(t(s, d, "documents"), minJaccard = 0.5,
+        maxDocFreq = 64)
         .orderBy("doc_a", "doc_b")),
     "d3_minhash_sig" -> ((s, d) =>
       Dedup.minhashSignatures(t(s, d, "documents")).orderBy("doc_id")),
@@ -151,7 +202,10 @@ object SparkEntry {
       Dedup.lshNearDupPairs(Dedup.minhashSignatures(t(s, d, "documents")))
         .orderBy("doc_a", "doc_b")),
     "d5_embedding_neardup" -> ((s, d) =>
-      Dedup.embeddingNearDups(t(s, d, "embeddings"), minCosine = 0.45)
+      // banded sign-projection LSH (equi-join per band) — the scale-safe
+      // production operator; the oracle reproduces the identical bucketing
+      // from the same hyperplane literals, so results hash-match exactly
+      Dedup.embeddingNearDupsBanded(t(s, d, "embeddings"), minCosine = 0.45)
         .orderBy("id_a", "id_b")),
     "d6_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(t(s, d, "documents"), maxHamming = 6)
@@ -178,8 +232,37 @@ object SparkEntry {
         Multimodal.synthMediaTable(t(s, d, "documents").select("doc_id")))
         .orderBy("media_id")
     }),
+    "m3_binary_ingest" -> ((s, _) => {
+      // real end-to-end binary ingestion (client.py:42-86 shape): render
+      // genuine PNGs to a fixture dir (idempotent), read them back through
+      // the binaryFile source, decode with the executor-side ImageIO codec,
+      // emit metadata. Dimensions derive from doc_id by a fixed formula the
+      // DuckDB oracle recomputes; the decode round-trip proves the bytes
+      // are real images, not tags.
+      import s.implicits._
+      val dir = graft.sources.DocSources.pngFixtureDir(0L until 40L)
+      graft.sources.DocSources.readBinaryMedia(s, dir, "*.png")
+        .select(regexp_extract(col("path"), "doc_(\\d+)\\.png", 1)
+          .cast("long").as("media_id"), col("content"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          // undecodable bytes → row dropped, never an exception
+          // (ImageIO.read returns null on garbage)
+          it.flatMap { case (id, bytes) =>
+            Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes)))
+              .map(img => (id, img.getWidth, img.getHeight))
+          }
+        }
+        .toDF("media_id", "width", "height")
+        .orderBy("media_id")
+    }),
     // ---- extraction pipeline (kernel-dependent: rows-only checks) ----
     "x1_extract_spans" -> ((s, d) => {
+      // VERIFICATION SHAPE: the trailing global orderBy exists only so the
+      // parquet dump the driver hashes is deterministic. The production
+      // path is ExtractionPipeline.extractSpans (sortWithinPartitions, no
+      // global sort) — PlanSpec pins its single-exchange plan.
       import s.implicits._
       ExtractionPipeline.extract(FromTable.docs(s, d),
         ExtractionPipeline.Config(numPartitions = 16))
@@ -235,6 +318,25 @@ object SparkEntry {
     }))
 
   // ------------------------------------------------------------ oracle SQL
+
+  /** One hyperplane as a DuckDB DOUBLE[] literal. Double.toString is the
+    * shortest exact round-trip decimal; DuckDB's strtod parse restores the
+    * identical bits, so dot-product *signs* (all the bucketing consumes)
+    * match the Spark expressions bit-for-bit. */
+  private def planeSql(plane: Array[Double]): String =
+    plane.mkString("[", ",", "]::DOUBLE[]")
+
+  /** VALUES rows `(band, bit, plane)` for banded sign-projection LSH —
+    * the same planes `Dedup.embeddingNearDupsBanded` derives. */
+  private def bandedPlanesSql(bands: Int, bitsPerBand: Int, dim: Int,
+                              seed: Long): String = {
+    val planes = Similarity.hyperplanes(bands * bitsPerBand, dim, seed)
+    (0 until bands).flatMap { b =>
+      (0 until bitsPerBand).map { r =>
+        s"($b, $r, ${planeSql(planes(b * bitsPerBand + r))})"
+      }
+    }.mkString(",\n   ")
+  }
 
   /** DuckDB twins of every SQL-expressible query above. Shared determinism
     * rules: md5-derived 60-bit hashes (`('0x'||substr(md5(x),1,15))::BIGINT`
@@ -336,7 +438,9 @@ object SparkEntry {
         |   generate_series(1, len(toks)-2),
         |   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
         | FROM toks WHERE len(toks) >= 3),
-        |r AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM sh)
+        |r0 AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM sh),
+        |hot AS (SELECT shingle FROM r0 GROUP BY shingle HAVING count(*) > 64),
+        |r AS (SELECT * FROM r0 WHERE shingle NOT IN (SELECT shingle FROM hot))
         |SELECT doc_a, doc_b, n_common, jaccard FROM (
         | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common,
         |  round(count(*)::DOUBLE / (a.n_sh + b.n_sh - count(*)), 6) AS jaccard
@@ -360,19 +464,69 @@ object SparkEntry {
          |  $mins
          |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
-    "d5_embedding_neardup" ->
-      """WITH e AS (SELECT vec_id, embedding FROM embeddings)
-        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |WHERE (
-        |  list_sum(list_transform(generate_series(1, len(a.embedding)),
-        |    i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
-        |  / (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)),
-        |      i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
-        |   * sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)),
-        |      i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))))
-        | ) >= 0.45
-        |ORDER BY id_a, id_b""".stripMargin,
+    "d4_lsh_pairs" -> {
+      // same signature pipeline as d3, then 4 bands × 4 rows: band key =
+      // md5 of the comma-joined slice (Spark: md5(concat_ws(",",...)))
+      val mins = (0 until 16).map(i =>
+        s"min(h1 + $i * h2) AS mh${"%02d".format(i)}").mkString(",\n  ")
+      val sigList = (0 until 16).map(i => f"mh$i%02d").mkString(", ")
+      val bandKeys = (0 until 4).map { b =>
+        val slice = (0 until 4).map(r => f"mh${b * 4 + r}%02d").mkString(", ")
+        s"md5(concat_ws(',', $slice)) AS band_$b"
+      }.mkString(",\n  ")
+      val bandUnion = (0 until 4).map(b =>
+        s"SELECT doc_id, sig, $b AS band, band_$b AS key FROM sigl")
+        .mkString("\n  UNION ALL ")
+      s"""WITH toks AS (SELECT doc_id,
+         |  list_filter(regexp_split_to_array(trim(lower(text)),'\\s+'), x -> x <> '') AS toks
+         | FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(
+         |   generate_series(1, len(toks)-2),
+         |   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+         | FROM toks WHERE len(toks) >= 3),
+         |r AS (SELECT doc_id, md5(unnest(sh)) AS m FROM sh),
+         |h AS (SELECT doc_id, ('0x' || substr(m,1,15))::BIGINT AS h1,
+         |             ('0x' || substr(m,16,14))::BIGINT AS h2 FROM r),
+         |sig AS (SELECT doc_id, $mins FROM h GROUP BY doc_id),
+         |sigl AS (SELECT doc_id, [$sigList] AS sig,
+         |  $bandKeys FROM sig),
+         |banded AS ($bandUnion),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.sig AS sig_a, b.sig AS sig_b
+         |  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+         |  WHERE a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, est_jaccard FROM (
+         | SELECT doc_a, doc_b, round(len(list_filter(generate_series(1,16),
+         |    i -> sig_a[i] = sig_b[i]))::DOUBLE / 16, 6) AS est_jaccard
+         | FROM cand)
+         |WHERE est_jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+    },
+    "d5_embedding_neardup" -> {
+      // identical banded sign-projection LSH as embeddingNearDupsBanded
+      // (bands=8, bitsPerBand=4, dim=64, seed=DefaultSeed) — hyperplanes
+      // embedded as exact round-trip literals, then exact cosine in-bucket
+      val cosAB =
+        """(list_sum(list_transform(generate_series(1, len(e_a)),
+          |    i -> e_a[i]::DOUBLE * e_b[i]::DOUBLE))
+          |  / (sqrt(list_sum(list_transform(generate_series(1, len(e_a)),
+          |      i -> e_a[i]::DOUBLE * e_a[i]::DOUBLE)))
+          |   * sqrt(list_sum(list_transform(generate_series(1, len(e_b)),
+          |      i -> e_b[i]::DOUBLE * e_b[i]::DOUBLE)))))""".stripMargin
+      s"""WITH planes(band, bit, w) AS (VALUES
+         |   ${bandedPlanesSql(8, 4, 64, graft.corpus.Synth.DefaultSeed)}),
+         |keys AS (SELECT vec_id, embedding, band,
+         |   sum(CASE WHEN list_sum(list_transform(generate_series(1, len(embedding)),
+         |       i -> embedding[i]::DOUBLE * w[i])) >= 0
+         |     THEN (1 << bit) ELSE 0 END)::INT AS key
+         |  FROM embeddings CROSS JOIN planes GROUP BY vec_id, embedding, band),
+         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    a.embedding AS e_a, b.embedding AS e_b
+         |  FROM keys a JOIN keys b ON a.band = b.band AND a.key = b.key
+         |  WHERE a.vec_id < b.vec_id)
+         |SELECT id_a, id_b FROM cand
+         |WHERE $cosAB >= 0.45
+         |ORDER BY id_a, id_b""".stripMargin
+    },
     "s1_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
         |c AS (SELECT vec_id AS neighbor_id, embedding AS c_emb FROM embeddings),
@@ -425,5 +579,140 @@ object SparkEntry {
       """SELECT DISTINCT nationkey FROM (
         | SELECT c_nationkey AS nationkey FROM customer
         | UNION ALL SELECT s_nationkey AS nationkey FROM supplier)
-        |ORDER BY nationkey""".stripMargin)
+        |ORDER BY nationkey""".stripMargin,
+    "q12_region_revenue" ->
+      """SELECT r_name, count(*) AS n_items,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q13_part_type_stats" ->
+      """SELECT p_type, count(*) AS n_items,
+        | round(sum(l_quantity), 4) AS sum_qty,
+        | round(avg(l_extendedprice), 4) AS avg_price
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "r1_smart_routing" -> {
+      val fmts = graft.ops.Routing.Formats.map("'" + _ + "'").mkString(",")
+      val quals = graft.ops.Routing.Qualities.map("'" + _ + "'").mkString(",")
+      val allowed = graft.kernel.Router.AllowedFormats.toSeq.sorted
+        .map("'" + _ + "'").mkString(",")
+      s"""WITH base AS (SELECT doc_id,
+         |  ([$fmts])[(doc_id % 10) + 1] AS format,
+         |  ([$quals])[(doc_id % 3) + 1] AS quality
+         | FROM documents)
+         |SELECT format, quality,
+         | CASE WHEN format IN ('TABLE','PHOTO_TABLE','WEB_TABLE','SCANNED_TABLE') THEN
+         |        CASE WHEN quality = 'PHOTO' THEN 'prompt_layout_all_en'
+         |             ELSE 'prompt_layout_only_en' END
+         |      WHEN format IN ('FORM','SCANNED_FORM') THEN 'prompt_grounding_ocr'
+         |      WHEN format = 'PHOTO_RECEIPT' THEN 'prompt_layout_all_en'
+         |      ELSE 'prompt_ocr' END AS route,
+         | CASE WHEN format IN ($allowed) THEN 1 ELSE 0 END AS allowed,
+         | count(*) AS n_docs
+         |FROM base GROUP BY 1,2,3,4 ORDER BY 1,2""".stripMargin
+    },
+    "r2_grounding_check" -> {
+      val fmts = graft.ops.Routing.Formats.map("'" + _ + "'").mkString(",")
+      val quals = graft.ops.Routing.Qualities.map("'" + _ + "'").mkString(",")
+      s"""WITH base AS (SELECT doc_id,
+         |  ([$fmts])[(doc_id % 10) + 1] AS format,
+         |  ([$quals])[(doc_id % 3) + 1] AS quality,
+         |  CASE WHEN doc_id % 7 = 0 THEN 0
+         |       WHEN doc_id % 11 = 0 THEN 3 ELSE 4 END AS bbox_len
+         | FROM documents),
+         |m AS (SELECT doc_id, bbox_len,
+         | CASE WHEN format IN ('TABLE','PHOTO_TABLE','WEB_TABLE','SCANNED_TABLE') THEN
+         |        CASE WHEN quality = 'PHOTO' THEN 'prompt_layout_all_en'
+         |             ELSE 'prompt_layout_only_en' END
+         |      WHEN format IN ('FORM','SCANNED_FORM') THEN 'prompt_grounding_ocr'
+         |      WHEN format = 'PHOTO_RECEIPT' THEN 'prompt_layout_all_en'
+         |      ELSE 'prompt_ocr' END AS mode
+         | FROM base)
+         |SELECT doc_id, mode, bbox_len,
+         | CASE WHEN mode = 'prompt_grounding_ocr' AND bbox_len <> 4
+         |      THEN 'BBOX_REQUIRED' ELSE '' END AS failure_code
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
+    "m3_binary_ingest" ->
+      """SELECT doc_id AS media_id,
+        | (doc_id % 48 + 16)::INT AS width,
+        | ((doc_id // 7) % 48 + 16)::INT AS height
+        |FROM documents WHERE doc_id < 40 ORDER BY media_id""".stripMargin,
+    "t5_rolling_fingerprint" ->
+      // Karp-Rabin over tokens: Java-long wraparound arithmetic reproduced
+      // mod 2^64 in HUGEINT, then converted to signed
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(trim(lower(text)),'\s+'), x -> x <> '') AS toks
+        | FROM documents),
+        |th AS (SELECT doc_id, list_transform(toks, t ->
+        |   list_reduce(list_prepend(1125899906842597::HUGEINT,
+        |       list_transform(regexp_split_to_array(t, ''), c -> unicode(c)::HUGEINT)),
+        |     (acc, c) -> (acc * 31 + c) % 18446744073709551616::HUGEINT)) AS hs
+        | FROM toks),
+        |rh AS (SELECT doc_id,
+        |   list_reduce(list_prepend(0::HUGEINT, hs),
+        |     (acc, x) -> (acc * 1000003 + x) % 18446744073709551616::HUGEINT) AS h
+        | FROM th)
+        |SELECT doc_id, (CASE WHEN h >= 9223372036854775808::HUGEINT
+        |   THEN h - 18446744073709551616::HUGEINT ELSE h END)::BIGINT AS rolling_fp
+        |FROM rh ORDER BY doc_id""".stripMargin,
+    "d6_simhash_pairs" ->
+      // md5-prefix 60-bit token hashes -> per-bit majority vote -> 4×15-bit
+      // banded equi-join -> Hamming ≤ 6 (bit-for-bit the Scala kernel)
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(trim(lower(text)),'\s+'), x -> x <> '') AS toks
+        | FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS t FROM toks),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(t),1,15))::BIGINT AS h FROM tok),
+        |bits AS (SELECT doc_id, b.b AS b,
+        |   sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+        |  FROM h CROSS JOIN range(60) b(b) GROUP BY 1,2),
+        |sim0 AS (SELECT doc_id,
+        |   sum(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+        |  FROM bits GROUP BY 1),
+        |sims AS (SELECT d.doc_id::VARCHAR AS doc_id, coalesce(s.simhash, 0) AS simhash
+        |  FROM documents d LEFT JOIN sim0 s ON d.doc_id = s.doc_id),
+        |banded AS (SELECT doc_id, simhash, b.band AS band,
+        |   (simhash >> (b.band * 15)) & 32767 AS key
+        |  FROM sims CROSS JOIN range(4) b(band)),
+        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.simhash AS sh_a, b.simhash AS sh_b
+        |  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+        |  WHERE a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, hamming FROM (
+        | SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b)) AS hamming FROM pairs)
+        |WHERE hamming <= 6 ORDER BY doc_a, doc_b""".stripMargin,
+    "s2_lsh_ann" -> {
+      // single 8-plane sign-projection bucket (Similarity.lshAnnTopK
+      // defaults), query side vec_id < 8, rank = cosine desc within bucket
+      val planes = Similarity.hyperplanes(8, 64, graft.corpus.Synth.DefaultSeed)
+      val planeRows = planes.zipWithIndex
+        .map { case (p, i) => s"($i, ${planeSql(p)})" }.mkString(",\n   ")
+      s"""WITH planes(p, w) AS (VALUES
+         |   $planeRows),
+         |eb AS (SELECT vec_id, embedding,
+         |   sum(CASE WHEN list_sum(list_transform(generate_series(1, len(embedding)),
+         |       i -> embedding[i]::DOUBLE * w[i])) >= 0
+         |     THEN (1 << p) ELSE 0 END)::INT AS bucket
+         |  FROM embeddings CROSS JOIN planes GROUP BY vec_id, embedding),
+         |q AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket FROM eb WHERE vec_id < 8),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS c_emb, bucket FROM eb),
+         |scored AS (SELECT query_id, c.bucket AS bucket, neighbor_id,
+         |   list_sum(list_transform(generate_series(1, len(q_emb)),
+         |     i -> q_emb[i]::DOUBLE * c_emb[i]::DOUBLE))
+         |   / (sqrt(list_sum(list_transform(generate_series(1, len(q_emb)),
+         |       i -> q_emb[i]::DOUBLE * q_emb[i]::DOUBLE)))
+         |    * sqrt(list_sum(list_transform(generate_series(1, len(c_emb)),
+         |       i -> c_emb[i]::DOUBLE * c_emb[i]::DOUBLE)))) AS cos
+         |  FROM c JOIN q ON c.bucket = q.bucket WHERE neighbor_id <> query_id)
+         |SELECT query_id, bucket, rank, neighbor_id FROM (
+         | SELECT query_id, bucket, neighbor_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         | FROM scored)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    })
 }

@@ -69,10 +69,30 @@ object Dedup {
 
   /** Pairwise n-gram Jaccard over candidate pairs that share ≥1 shingle
     * (pairs with zero overlap are never materialized). Returns pairs with
-    * jaccard ≥ `minJaccard`, doc_a < doc_b. */
+    * jaccard ≥ `minJaccard`, doc_a < doc_b.
+    *
+    * `maxDocFreq` is the scale guard on the self-join: the candidate count
+    * is Σ df(s)² over shingles, so one boilerplate shingle shared by 10⁶
+    * docs alone yields 10¹² join rows. Shingles with document frequency
+    * above the cap are dropped from candidate generation by an anti-join
+    * (they carry no discriminative signal — the same reason MinHashLSH
+    * implementations cap band sizes). `n_common` then counts only
+    * non-ubiquitous shared shingles, so jaccard is a conservative
+    * underestimate for boilerplate-heavy pairs; `n_a`/`n_b` stay the true
+    * distinct-shingle counts. The hot-shingle set is tiny by construction,
+    * so the anti-join broadcasts. */
   def ngramJaccardPairs(docs: DataFrame, minJaccard: Double,
-                        textCol: String = "text", n: Int = 3): DataFrame = {
-    val rows = shingleRows(docs, textCol, n)
+                        textCol: String = "text", n: Int = 3,
+                        maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    val allRows = shingleRows(docs, textCol, n)
+    val rows =
+      if (maxDocFreq == Int.MaxValue) allRows
+      else {
+        val hot = allRows.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDocFreq)
+          .select("shingle")
+        allRows.join(broadcast(hot), Seq("shingle"), "left_anti")
+      }
     val a = rows.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"), col("shingle"))
     val b = rows.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"), col("shingle"))
     a.join(b, Seq("shingle"))
@@ -134,43 +154,52 @@ object Dedup {
       .select("doc_a", "doc_b", "est_jaccard")
   }
 
-  /** 64-bit SimHash over whitespace tokens (Charikar '02): per-bit majority
-    * vote of token hashes. Pure Scala kernel (bit twiddling is clearer and
-    * faster than 64 column expressions). */
-  def simhash64(tokens: Seq[String]): Long = {
-    val votes = new Array[Int](64)
+  /** 60-bit SimHash over whitespace tokens (Charikar '02): per-bit majority
+    * vote of token hashes. Token hash = first 15 hex chars of md5 (60 bits)
+    * — the same md5-prefix scheme as `minhashSignatures`, shared bit-for-bit
+    * with the DuckDB oracle (`('0x'||substr(md5(t),1,15))::BIGINT`). Pure
+    * Scala kernel (bit twiddling is clearer and faster than 60 column
+    * expressions). */
+  def simhash60(tokens: Seq[String]): Long = {
+    val votes = new Array[Int](60)
+    val md = java.security.MessageDigest.getInstance("MD5")
     tokens.foreach { t =>
-      var h = 1125899906842597L
+      md.reset()
+      val d = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 8 bytes big-endian = hex chars 1..16; >>> 4 keeps chars 1..15
+      var h = 0L
       var i = 0
-      while (i < t.length) { h = 31 * h + t.charAt(i); i += 1 }
-      h = graft.corpus.Synth.splitmix64(h)
+      while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+      h = h >>> 4
       var b = 0
-      while (b < 64) {
+      while (b < 60) {
         if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
         b += 1
       }
     }
     var out = 0L
     var b = 0
-    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    while (b < 60) { if (votes(b) > 0) out |= (1L << b); b += 1 }
     out
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, candidates
-    * via 4×16-bit band equi-join (pigeonhole: ham ≤ 3 ⇒ ≥1 band equal). */
+    * via 4×15-bit band equi-join (pigeonhole: ham ≤ 3 ⇒ ≥1 band equal;
+    * ham 4..maxHamming pairs are found iff some band happens to match —
+    * standard LSH recall semantics, reproduced exactly by the oracle). */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
                    textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val sims = docs.select(col("doc_id").cast("string"), col(textCol)).as[(String, String)]
       .map { case (id, text) =>
-        (id, simhash64(Option(text).getOrElse("").toLowerCase
+        (id, simhash60(Option(text).getOrElse("").toLowerCase
           .split("\\s+").toSeq.filter(_.nonEmpty)))
       }.toDF("doc_id", "simhash")
     val banded = (0 until 4).map { b =>
       sims.select(col("doc_id"), col("simhash"),
         lit(b).as("band"),
-        shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))
+        shiftright(col("simhash"), b * 15).bitwiseAND(lit(0x7fffL)).as("key"))
     }.reduce(_ union _)
     val a = banded.select(col("band"), col("key"), col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
     val b2 = banded.select(col("band"), col("key"), col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
@@ -183,9 +212,48 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
   }
 
-  /** Embedding cosine near-duplicates: all pairs with cosine ≥ minCosine.
-    * Brute pairwise at test scale; at 100 TB the identical expression runs
-    * inside Similarity.lsh buckets instead of a cross join. */
+  /** Embedding cosine near-duplicates, banded sign-projection LSH — the
+    * production operator. `bands` independent bucket keys of `bitsPerBand`
+    * random hyperplane signs each; vectors sharing any band key become
+    * candidates (equi-join per band, never a cross join), then the exact
+    * cosine filter runs inside buckets only. Recall for a pair at angle θ is
+    * 1-(1-p^r)^b with p = 1-θ/π — near-identical vectors (the near-dup
+    * regime) collide with probability →1; see the OpsSpec recall test vs
+    * brute force. At 100 TB raise `bitsPerBand` (bucket count 2^r) so
+    * per-bucket populations stay bounded; `bands` buys recall linearly. */
+  def embeddingNearDupsBanded(embeddings: DataFrame, minCosine: Double,
+                              bands: Int = 8, bitsPerBand: Int = 4,
+                              dim: Int = 64,
+                              seed: Long = graft.corpus.Synth.DefaultSeed): DataFrame = {
+    val planes = Similarity.hyperplanes(bands * bitsPerBand, dim, seed)
+    val bandKeys = (0 until bands).map { b =>
+      Similarity.lshBucket(col("embedding"),
+        planes.slice(b * bitsPerBand, (b + 1) * bitsPerBand)).as(s"bk_$b")
+    }
+    val keyed = embeddings.select(
+      Seq(col("vec_id"), col("embedding"),
+        Similarity.normCol(col("embedding")).as("nrm")) ++ bandKeys: _*)
+    val banded = (0 until bands).map { b =>
+      keyed.select(col("vec_id"), col("embedding"), col("nrm"),
+        lit(b).as("band"), col(s"bk_$b").as("key"))
+    }.reduce(_ union _)
+    val a = banded.select(col("band"), col("key"), col("vec_id").as("id_a"),
+      col("embedding").as("e_a"), col("nrm").as("n_a"))
+    val b2 = banded.select(col("band"), col("key"), col("vec_id").as("id_b"),
+      col("embedding").as("e_b"), col("nrm").as("n_b"))
+    a.join(b2, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "e_a", "n_a", "e_b", "n_b")
+      .distinct()
+      .withColumn("cosine",
+        Similarity.dotUdf(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")))
+      .filter(col("cosine") >= minCosine)
+      .select("id_a", "id_b")
+  }
+
+  /** Embedding cosine near-duplicates, brute force: all pairs with cosine ≥
+    * minCosine via cross join. Exact — kept as the TEST ORACLE for the
+    * banded operator's recall; never the production path (quadratic). */
   def embeddingNearDups(embeddings: DataFrame, minCosine: Double): DataFrame = {
     val withNorm = embeddings.select(col("vec_id"), col("embedding"),
       Similarity.normCol(col("embedding")).as("nrm"))

@@ -149,6 +149,25 @@ object ExtractionPipeline {
     }
   }
 
+  /** Production span dump: results exploded to one row per span with
+    * PER-PARTITION ordering only (`sortWithinPartitions`) — no global
+    * range-exchange + total sort. The x1 verify query's global
+    * `orderBy(doc_id, offset)` exists solely so the DuckDB-compared parquet
+    * dump is deterministic; at 100 TB a total sort of every span would be a
+    * cluster-wide shuffle with no consumer. All downstream operators key on
+    * doc_id, so doc-local ordering is all the pipeline ever needs.
+    * PlanSpec asserts this path has exactly one exchange (the salting one)
+    * and no range partitioning. */
+  def extractSpans(docs: Dataset[Doc], cfg: Config = Config()): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    extract(docs, cfg)
+      .select($"doc_id", explode($"spans").as("span"))
+      .select($"doc_id", $"span.offset".as("offset"), $"span.kind".as("kind"),
+        $"span.media_ref".as("media_ref"), $"span.text".as("text"))
+      .sortWithinPartitions("doc_id", "offset")
+  }
+
   /** Per-partition lineage/metrics rollup (north rule; FIXTURES.md §5).
     * wall_ms is the summed kernel time per partition — in local mode task
     * wall clock ≈ kernel time; at cluster scale attach a SparkListener for

@@ -31,6 +31,29 @@ object DocSources {
       .select(col("path"), col("length"),
         col("content"), base64(col("content")).as("content_b64"))
 
+  /** S1/S2 fixture bootstrap: deterministic PNG page rasters (one per id,
+    * `doc_<id>.png`, dims `(id%48+16, (id/7)%48+16)` — the formula the
+    * DuckDB oracle recomputes) written once to a content-addressed tmp dir.
+    * Returns the dir. Idempotent: the `_SUCCESS` marker skips rewrites, so
+    * re-running a query battery costs one stat() call. */
+  def pngFixtureDir(ids: Seq[Long]): String = {
+    val dir = new java.io.File(
+      s"/tmp/graft_png_fixtures_${ids.hashCode.toHexString}_${ids.size}")
+    val marker = new java.io.File(dir, "_SUCCESS")
+    if (!marker.exists()) {
+      dir.mkdirs()
+      ids.foreach { id =>
+        val w = (id % 48 + 16).toInt
+        val h = (id / 7 % 48 + 16).toInt
+        java.nio.file.Files.write(
+          new java.io.File(dir, f"doc_$id%05d.png").toPath,
+          graft.ops.Multimodal.renderPng(id, w, h))
+      }
+      java.nio.file.Files.write(marker.toPath, Array.empty[Byte])
+    }
+    dir.getAbsolutePath
+  }
+
   /** S5: batch-result parquet sink, laid out for failure triage. */
   def writeResults(results: Dataset[DocResult], outDir: String): Unit =
     results.write.mode(SaveMode.Overwrite)

@@ -48,6 +48,23 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected 1 exchange, plan:\n${plan.take(1500)}")
   }
 
+  test("production span dump has no global sort: one exchange, no range partitioning") {
+    import spark.implicits._
+    val docs = ExtractionPipeline.synthDocs(spark, 100, parallelism = 4)
+    val plan = ExtractionPipeline.extractSpans(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("rangepartitioning"),
+      "sortWithinPartitions must not add a range exchange:\n" + plan.take(1500))
+    val exchanges = "ShuffleExchange|Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    assert(exchanges == 1, s"expected only the salting exchange, plan:\n${plan.take(1500)}")
+  }
+
+  test("q12 star join broadcasts the small dimensions") {
+    val p = planOf("q12_region_revenue")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
   test("q1 aggregation is a partial/final hash agg over a pruned scan") {
     val p = planOf("q1_lineitem_rollup")
     assert(p.contains("HashAggregate"))

@@ -105,6 +105,81 @@ class OpsSpec extends AnyFunSuite {
     assert(out.forall { case (_, w, h, b) => w == 100 && h == 80 && b.length > 50 })
   }
 
+  test("maxDocFreq cap defuses a boilerplate hot shingle without touching clean corpora") {
+    import SparkTestSessionImport.spark.implicits._
+    // 300 docs all sharing one boilerplate sentence + unique tails: every
+    // shingle inside the boilerplate has df=300, so the uncapped self-join
+    // materializes all ~45k pairs — the 10^12-row failure shape at corpus
+    // scale. With the cap, those shingles are anti-joined away and the
+    // candidate set collapses to zero.
+    val boiler = "terms and conditions apply to this document"
+    val dirty = (0 until 300)
+      .map(i => (i.toLong, s"$boiler unique$i tail$i token$i"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccardPairs(dirty, minJaccard = 0.05).count()
+    assert(uncapped == 300L * 299 / 2,
+      s"uncapped boilerplate corpus must pair everything: $uncapped")
+    val capped = Dedup.ngramJaccardPairs(dirty, minJaccard = 0.05, maxDocFreq = 50).count()
+    assert(capped == 0, s"capped boilerplate corpus must produce no candidates: $capped")
+    // clean corpus (testdata max shingle df ≈ 7 at sf0.001): cap is a no-op
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("n_common"), r.getAs[Double]("jaccard"))).sortBy(p => (p._1, p._2))
+    assert(pairs(Dedup.ngramJaccardPairs(docs, 0.5, maxDocFreq = 64)).toSeq ==
+      pairs(Dedup.ngramJaccardPairs(docs, 0.5)).toSeq)
+  }
+
+  test("banded embedding LSH: exact subset of brute force, full recall on planted near-dups") {
+    import SparkTestSessionImport.spark.implicits._
+    // 40 random base vectors, each with a tiny-perturbation twin at
+    // cosine ≈ 0.9995 — the near-dup regime the operator targets
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 40).flatMap { i =>
+      val v = Array.fill(64)(rnd.nextGaussian().toFloat)
+      val dup = v.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+      Seq((2L * i, v.toSeq), (2L * i + 1, dup.toSeq))
+    }.toDF("vec_id", "embedding")
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val brute = asSet(Dedup.embeddingNearDups(rows, minCosine = 0.95))
+    val banded = asSet(Dedup.embeddingNearDupsBanded(rows, minCosine = 0.95))
+    assert(brute.size == 40, s"plant produced ${brute.size} true pairs")
+    assert(banded.subsetOf(brute), "banded must never invent pairs (exact cosine in-bucket)")
+    val recall = banded.size.toDouble / brute.size
+    assert(recall >= 0.9, s"banded recall on near-identical twins: $recall")
+  }
+
+  test("binaryFile PNG ingestion round-trip decodes the rendered dimensions") {
+    val dir = graft.sources.DocSources.pngFixtureDir(0L until 8L)
+    val rows = graft.sources.DocSources
+      .readBinaryMedia(SparkTestSessionImport.spark, dir, "*.png").collect()
+    assert(rows.length == 8)
+    rows.foreach { r =>
+      val path = r.getAs[String]("path")
+      val id = "doc_(\\d+)\\.png".r.findFirstMatchIn(path).get.group(1).toLong
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("content")))
+      assert(img.getWidth == (id % 48 + 16).toInt, s"$path width")
+      assert(img.getHeight == (id / 7 % 48 + 16).toInt, s"$path height")
+    }
+    // corrupt bytes in the dir must drop the row, not kill the job
+    // (the m3 query's decode guard; errors are rows/skips, never exceptions)
+    import SparkTestSessionImport.spark.implicits._
+    val bad = java.nio.file.Files.createTempDirectory("graft_badpng")
+    java.nio.file.Files.write(bad.resolve("doc_00000.png"),
+      graft.ops.Multimodal.renderPng(0, 20, 20))
+    java.nio.file.Files.write(bad.resolve("doc_00001.png"),
+      Array[Byte](1, 2, 3, 4, 5))
+    val decoded = graft.sources.DocSources
+      .readBinaryMedia(SparkTestSessionImport.spark, bad.toString, "*.png")
+      .select(col("content")).as[Array[Byte]]
+      .mapPartitions(_.flatMap(b =>
+        Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b)))
+          .map(i => (i.getWidth, i.getHeight))))
+      .collect()
+    assert(decoded.toSeq == Seq((20, 20)), s"corrupt file must be skipped: ${decoded.toSeq}")
+  }
+
   test("resizeFit never exceeds the bounding box and preserves aspect direction") {
     val r = Multimodal.resizeFit(Multimodal.synthMediaTable(docs.select("doc_id")))
       .collect()
