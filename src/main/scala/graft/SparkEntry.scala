@@ -146,6 +146,18 @@ object SparkEntry {
           round(avg("l_extendedprice"), 4).as("avg_price"))
         .orderBy("p_type")
     }),
+    "q14_hourly_events" -> ((s, d) => {
+      // event-time tumbling window (epoch-aligned, UTC session TZ) — the
+      // batch twin of StreamingExtract.failureRates' windowed shape;
+      // window(ts, '1 hour').start ≡ DuckDB date_trunc('hour', ts)
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 4).as("sum_value"))
+        .select(col("w.start").as("hour"), col("event_type"),
+          col("n_events"), col("sum_value"))
+        .orderBy("hour", "event_type")
+    }),
     // ---- routing / grounding (P5/P2 as whole-corpus queries) ----
     "r1_smart_routing" -> ((s, d) => {
       import graft.ops.Routing
@@ -595,6 +607,10 @@ object SparkEntry {
         | round(avg(l_extendedprice), 4) AS avg_price
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q14_hourly_events" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        | count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "r1_smart_routing" -> {
       val fmts = graft.ops.Routing.Formats.map("'" + _ + "'").mkString(",")
       val quals = graft.ops.Routing.Qualities.map("'" + _ + "'").mkString(",")

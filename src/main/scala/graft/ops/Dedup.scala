@@ -246,7 +246,7 @@ object Dedup {
       .select("id_a", "id_b", "e_a", "n_a", "e_b", "n_b")
       .distinct()
       .withColumn("cosine",
-        Similarity.dotUdf(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")))
+        graft.functions.VecMath.vecDot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")))
       .filter(col("cosine") >= minCosine)
       .select("id_a", "id_b")
   }
@@ -264,7 +264,7 @@ object Dedup {
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine",
-        Similarity.dotUdf(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")))
+        graft.functions.VecMath.vecDot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")))
       .filter(col("cosine") >= minCosine)
       .select("id_a", "id_b")
   }

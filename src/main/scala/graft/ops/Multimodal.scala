@@ -107,6 +107,55 @@ object Multimodal {
     }
   }
 
+  /** Image formats this JVM can actually encode (JDK17 ImageIO: png, jpeg,
+    * bmp, gif, tiff, wbmp — NO webp; the reference's WebP path,
+    * client.py:113-123, is represented by the format tag only and noted as
+    * a delta in COVERAGE.md). */
+  def supportedWriteFormats: Set[String] =
+    javax.imageio.ImageIO.getWriterFormatNames.map(_.toLowerCase).toSet
+
+  /** Real JPEG re-encode at an explicit quality factor — the reference's
+    * JPEG q85 step (client.py:62-66) done with ImageIO's writer params
+    * instead of PIL. */
+  def encodeJpeg(img: java.awt.image.BufferedImage,
+                 quality: Float = 0.85f): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality)
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    writer.setOutput(ios)
+    try writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    finally { writer.dispose(); ios.close() }
+    out.toByteArray
+  }
+
+  /** P7 for real bytes: the reference's optimize_image (client.py:88-123) —
+    * decode, scale to fit maxSide² (bilinear; PIL's LANCZOS kernel is not in
+    * ImageIO, the contract is the ≤maxSide bound not the kernel), RGB
+    * convert, JPEG-q re-encode. Returns None when the bytes don't decode —
+    * errors are rows/skips, never exceptions. */
+  def optimizeImage(bytes: Array[Byte], maxSide: Int = 1280,
+                    quality: Float = 0.85f): Option[Array[Byte]] =
+    try {
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+        .map { img =>
+          val scale = math.min(1.0,
+            math.min(maxSide.toDouble / img.getWidth, maxSide.toDouble / img.getHeight))
+          val (w, h) = (math.max(1, (img.getWidth * scale).toInt),
+            math.max(1, (img.getHeight * scale).toInt))
+          val rgb = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = rgb.createGraphics()
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, w, h, null)
+          g.dispose()
+          encodeJpeg(rgb, quality)
+        }
+    } catch { case _: Exception => None }
+
   /** STUB decode: stands in for an image codec. Deterministic: "decodes"
     * the payload into metadata + a perceptual-hash stand-in (md5 of bytes).
     * Runs batched per partition — the real codec would slot in here with

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.corpus.Synth
+import graft.functions.VecMath
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -22,11 +23,11 @@ object Similarity {
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 
-  /** Sequential-order double dot product as a tight-loop UDF. The Catalyst
-    * `aggregate(zip_with(...))` form materializes a 64-element struct array
-    * PER PAIR — at 2M candidate pairs that is the whole runtime. The loop
-    * allocates nothing and keeps strict left-to-right summation, so results
-    * are bit-identical to the SQL oracle's list_sum. */
+  /** Sequential-order double dot product as a tight-loop UDF. Kept ONLY as
+    * the test baseline for [[graft.functions.VecDot]] (the native codegen
+    * expression the operators actually use — same strict left-to-right
+    * summation, bit-identical results, but no per-call Seq[Float]
+    * deserialization and no codegen break). */
   val dotUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (a: Seq[Float], b: Seq[Float]) =>
       var s = 0.0
@@ -36,8 +37,8 @@ object Similarity {
       s
     }
 
-  /** Euclidean norm column via the same strict summation. */
-  def normCol(emb: Column): Column = sqrt(dotUdf(emb, emb))
+  /** Euclidean norm column via the same strict summation (native codegen). */
+  def normCol(emb: Column): Column = VecMath.vecNorm(emb)
 
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors (excluding itself). Query side is broadcast; ranking is
@@ -52,7 +53,7 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos",
-        dotUdf(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+        VecMath.vecDot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -67,13 +68,15 @@ object Similarity {
       u * 2.0 - 1.0
     }
 
-  /** Sign-random-projection LSH signature (one int bucket key per vector). */
+  /** Sign-random-projection LSH signature (one int bucket key per vector).
+    * Each plane dot is a native [[graft.functions.VecDotConst]] — the
+    * previous `aggregate(zip_with(...))` form materialized a dim-element
+    * struct array per plane per row (planes × dim structs/row); the
+    * compiled loop reads the ArrayData in place. Same left-to-right double
+    * sum, so bucket signs (and every oracle) are unchanged. */
   def lshBucket(emb: Column, planes: Array[Array[Double]]): Column = {
     val bits = planes.zipWithIndex.map { case (plane, i) =>
-      val dot = aggregate(
-        zip_with(emb, lit(plane), (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot >= 0, lit(1 << i)).otherwise(lit(0))
+      when(VecMath.vecDotConst(emb, plane) >= 0, lit(1 << i)).otherwise(lit(0))
     }
     bits.reduce(_ + _)
   }
@@ -96,7 +99,7 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos",
-        dotUdf(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+        VecMath.vecDot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -180,6 +180,28 @@ class OpsSpec extends AnyFunSuite {
     assert(decoded.toSeq == Seq((20, 20)), s"corrupt file must be skipped: ${decoded.toSeq}")
   }
 
+  test("real JPEG q85 re-encode + optimize (P7): bounded dims, quality ordering, graceful garbage") {
+    // webp is genuinely absent from JDK ImageIO — documented delta
+    val fmts = Multimodal.supportedWriteFormats
+    assert(fmts.contains("jpeg") && fmts.contains("png"))
+    val big = Multimodal.renderPng(seed = 3, width = 1600, height = 900)
+    val opt = Multimodal.optimizeImage(big, maxSide = 1280, quality = 0.85f)
+    assert(opt.isDefined)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(opt.get))
+    assert(img.getWidth == 1280 && img.getHeight == 720, s"${img.getWidth}x${img.getHeight}")
+    // decoded as JPEG, and lower quality compresses harder on noisy pixels
+    val q30 = Multimodal.optimizeImage(big, maxSide = 1280, quality = 0.3f).get
+    assert(q30.length < opt.get.length,
+      s"q30 ${q30.length} must be smaller than q85 ${opt.get.length}")
+    // small images are not upscaled
+    val small = Multimodal.renderPng(5, 100, 50)
+    val sOpt = Multimodal.optimizeImage(small).get
+    val sImg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(sOpt))
+    assert(sImg.getWidth == 100 && sImg.getHeight == 50)
+    // garbage bytes → None, never an exception
+    assert(Multimodal.optimizeImage(Array[Byte](9, 9, 9)).isEmpty)
+  }
+
   test("resizeFit never exceeds the bounding box and preserves aspect direction") {
     val r = Multimodal.resizeFit(Multimodal.synthMediaTable(docs.select("doc_id")))
       .collect()
