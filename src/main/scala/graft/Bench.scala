@@ -121,6 +121,13 @@ object Bench {
 
     // ---- phase 2: headline queries on the sf dir ----
     val spark = session(cpus, "graft-bench-queries")
+    // untimed session warmup: without it the alphabetically-first query
+    // (d1) absorbs all one-time costs — codegen compiler init, first-job
+    // scheduler paths, parquet footer reads — and reads ~6s for a 0.5s
+    // aggregation. Steady-state per-query numbers are the useful ones.
+    spark.range(1000000L).selectExpr("count(distinct id)").collect()
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("count(md5(text))").collect()
     val queryTimes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val t0 = System.nanoTime()

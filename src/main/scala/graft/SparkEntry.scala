@@ -198,6 +198,8 @@ object SparkEntry {
             Option(text).getOrElse("").toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)))
         }.toDF("doc_id", "rolling_fp").orderBy("doc_id")
     }),
+    "t6_regex_tokens" -> ((s, d) =>
+      TextAnalysis.regexTokens(t(s, d, "documents")).orderBy("doc_id")),
     // ---- dedup ----
     "d1_exact_dedup" -> ((s, d) =>
       Dedup.exactDedup(t(s, d, "documents")).orderBy("content_hash")),
@@ -231,6 +233,15 @@ object SparkEntry {
     "s2_lsh_ann" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Similarity.lshAnnTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
+        .orderBy("query_id", "rank")
+    }),
+    "s3_ivf_ann" -> ((s, d) => {
+      // IVF inverted-list ANN (nprobe=1) with the deterministic random
+      // coarse quantizer — the oracle reproduces cell assignment from the
+      // same center literals; k-means-trained centers are exercised (recall
+      // vs brute) in OpsSpec
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfAnnTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
         .orderBy("query_id", "rank")
     }),
     // ---- multimodal ----
@@ -702,6 +713,50 @@ object SparkEntry {
         |SELECT doc_a, doc_b, hamming FROM (
         | SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b)) AS hamming FROM pairs)
         |WHERE hamming <= 6 ORDER BY doc_a, doc_b""".stripMargin,
+    "t6_regex_tokens" ->
+      """SELECT doc_id,
+        | len(regexp_extract_all(text, '[A-Za-z]+')) AS n_alpha_runs,
+        | len(regexp_extract_all(text, '[0-9]+')) AS n_digit_runs,
+        | len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_marks,
+        | len(regexp_extract_all(text, '[A-Za-z]+'))
+        |  + len(regexp_extract_all(text, '[0-9]+'))
+        |  + len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "s3_ivf_ann" -> {
+      // same random coarse centers as Similarity.ivfCenters(16, 64, seed);
+      // dist = -2·v·c + |c|² (|v|² constant per row), first-min tie on cid
+      val centers = Similarity.ivfCenters(16, 64, graft.corpus.Synth.DefaultSeed)
+      val centerRows = centers.zipWithIndex.map { case (c, i) =>
+        val w = c.map(-2.0 * _)
+        val c2 = c.map(x => x * x).sum
+        s"(${i + 1}, $c2, ${planeSql(w)})"
+      }.mkString(",\n   ")
+      s"""WITH centers(cid, c2, w) AS (VALUES
+         |   $centerRows),
+         |d AS (SELECT vec_id, embedding, cid,
+         |   list_sum(list_transform(generate_series(1, len(embedding)),
+         |     i -> embedding[i]::DOUBLE * w[i])) + c2 AS dist
+         |  FROM embeddings CROSS JOIN centers),
+         |a AS (SELECT vec_id, embedding, cid AS cell FROM (
+         |   SELECT vec_id, embedding, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |   FROM d) WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS q_emb, cell FROM a WHERE vec_id < 8),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS c_emb, cell FROM a),
+         |scored AS (SELECT query_id, c.cell AS cell, neighbor_id,
+         |   list_sum(list_transform(generate_series(1, len(q_emb)),
+         |     i -> q_emb[i]::DOUBLE * c_emb[i]::DOUBLE))
+         |   / (sqrt(list_sum(list_transform(generate_series(1, len(q_emb)),
+         |       i -> q_emb[i]::DOUBLE * q_emb[i]::DOUBLE)))
+         |    * sqrt(list_sum(list_transform(generate_series(1, len(c_emb)),
+         |       i -> c_emb[i]::DOUBLE * c_emb[i]::DOUBLE)))) AS cos
+         |  FROM c JOIN q ON c.cell = q.cell WHERE neighbor_id <> query_id)
+         |SELECT query_id, cell, rank, neighbor_id FROM (
+         | SELECT query_id, cell, neighbor_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         | FROM scored)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
     "s2_lsh_ann" -> {
       // single 8-plane sign-projection bucket (Similarity.lshAnnTopK
       // defaults), query side vec_id < 8, rank = cosine desc within bucket

@@ -81,6 +81,92 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** Deterministic random coarse-quantizer centers for IVF (same splitmix64
+    * scheme as `hyperplanes`, different stream). Data-independent on
+    * purpose: the DuckDB oracle must reproduce cell assignment from
+    * literals alone. K-means-trained centers (`trainedCenters`) are the
+    * production upgrade — training moves recall, never correctness, and
+    * slots into the identical assignment expression. */
+  def ivfCenters(k: Int, dim: Int, seed: Long): Array[Array[Double]] =
+    hyperplanes(k, dim, seed ^ 0x1BF52L)
+
+  /** Lloyd's k-means on a deterministic bounded sample (first `sampleN`
+    * vectors by vec_id) — the IVF index-training phase. Driver-side by
+    * design: ANN indexes train on samples even at 100 TB; assignment of the
+    * full corpus stays distributed. */
+  def trainedCenters(corpus: DataFrame, k: Int, iters: Int = 5,
+                     sampleN: Int = 512): Array[Array[Double]] = {
+    val sample = corpus.select(col("vec_id"), col("embedding"))
+      .orderBy("vec_id").limit(sampleN)
+      .collect().map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    require(sample.length >= k, s"need >= $k sample vectors")
+    var centers = sample.take(k).map(_.clone())
+    val dim = sample(0).length
+    (0 until iters).foreach { _ =>
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var i = 0
+          while (i < dim) { val t = v(i) - centers(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      centers = centers.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old
+        else sums(c).map(_ / counts(c))
+      }
+    }
+    centers
+  }
+
+  /** IVF cell id (1-based): index of the nearest center by squared L2.
+    * |v|² is constant per row, so ranking uses −2·v·c + |c|² — one
+    * VecDotConst per center, first-min tie-break (array_position), shared
+    * exactly with the oracle's (dist, cid) row_number. */
+  def ivfCellCol(emb: Column, centers: Array[Array[Double]]): Column = {
+    val dists = centers.map { c =>
+      graft.functions.VecMath.vecDotConst(emb, c.map(-2.0 * _)) +
+        lit(c.map(x => x * x).sum)
+    }
+    val arr = array(dists: _*)
+    array_position(arr, array_min(arr)).cast("int")
+  }
+
+  /** IVF ANN top-k, nprobe=1: corpus partitioned into `nCenters` inverted
+    * lists by nearest center; each query scans only its own list (equi-join
+    * on cell). The second classic ANN family next to sign-projection LSH —
+    * at scale the inverted lists are the partition/bucket layout and
+    * `nCenters` grows with corpus size (cells stay bounded). */
+  def ivfAnnTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                 nCenters: Int = 16, dim: Int = 64,
+                 seed: Long = Synth.DefaultSeed,
+                 centersOverride: Option[Array[Array[Double]]] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centers = centersOverride.getOrElse(ivfCenters(nCenters, dim, seed))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+      normCol(col("embedding")).as("c_norm"),
+      ivfCellCol(col("embedding"), centers).as("cell"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      normCol(col("embedding")).as("q_norm"),
+      ivfCellCol(col("embedding"), centers).as("cell"))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos",
+        graft.functions.VecMath.vecDot(col("q_emb"), col("c_emb")) /
+          (col("q_norm") * col("c_norm")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "cell", "rank", "neighbor_id")
+  }
+
   /** LSH-bucketed ANN: corpus and queries hash to sign-projection buckets;
     * each query searches only its bucket (equi-join on bucket key). With
     * `nPlanes` = 8 → 256 buckets ⇒ ~256× less work than brute force, at

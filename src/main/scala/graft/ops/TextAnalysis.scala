@@ -86,6 +86,22 @@ object TextAnalysis {
     df.select(col("doc_id"),
       md5(lower(trim(col(textCol))).cast("binary")).as("fingerprint"))
 
+  /** BPE-ish regex token counting: letter runs, digit runs, and single
+    * non-alphanumeric marks — the tokenizer-shaped budget count used when a
+    * real BPE vocab isn't loadable (the usual pre-tokenizer split classes).
+    * The pattern set is the common Java-regex/RE2 subset so the DuckDB
+    * oracle counts identically. Pure codegen'd regexp_count expressions. */
+  def regexTokens(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.select(
+      col("doc_id"),
+      regexp_count(t, lit("[A-Za-z]+")).as("n_alpha_runs"),
+      regexp_count(t, lit("[0-9]+")).as("n_digit_runs"),
+      regexp_count(t, lit("[^A-Za-z0-9\\s]")).as("n_marks"))
+      .withColumn("n_bpe_tokens",
+        col("n_alpha_runs") + col("n_digit_runs") + col("n_marks"))
+  }
+
   /** 64-bit polynomial rolling hash (Karp-Rabin) over tokens — the
     * shift-resistant fingerprint variant; pure Scala, used via a typed map
     * (not SQL-expressible, covered by rows-only verification). */

@@ -149,6 +149,29 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"banded recall on near-identical twins: $recall")
   }
 
+  test("IVF ANN with trained k-means centers finds planted twins as top-1") {
+    import SparkTestSessionImport.spark.implicits._
+    val rnd = new scala.util.Random(21)
+    val rows = (0 until 40).flatMap { i =>
+      val v = Array.fill(64)(rnd.nextGaussian().toFloat)
+      val dup = v.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+      Seq((2L * i, v.toSeq), (2L * i + 1, dup.toSeq))
+    }.toDF("vec_id", "embedding")
+    val trained = Similarity.trainedCenters(rows, k = 8, iters = 5, sampleN = 80)
+    val queries = rows.filter(col("vec_id") % 2 === 0)
+    val top1 = Similarity.ivfAnnTopK(rows, queries, k = 1,
+      centersOverride = Some(trained)).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    // a twin at cosine ≈ 0.9995 should land in the same Voronoi cell and
+    // be the nearest in-cell neighbor for nearly every query
+    val hits = top1.count { case (q, n) => n == q + 1 }
+    assert(hits >= 36, s"trained IVF twin recall: $hits/40")
+    // untrained random centers still produce a valid partition (every query
+    // returns from its own cell, never itself)
+    val rand = Similarity.ivfAnnTopK(rows, queries, k = 3).collect()
+    assert(rand.forall(r => r.getAs[Long]("query_id") != r.getAs[Long]("neighbor_id")))
+  }
+
   test("binaryFile PNG ingestion round-trip decodes the rendered dimensions") {
     val dir = graft.sources.DocSources.pngFixtureDir(0L until 8L)
     val rows = graft.sources.DocSources
