@@ -126,7 +126,12 @@ object Dedup {
 
   /** LSH candidate pairs from banded MinHash signatures: `bands` bands of
     * `k/bands` rows; docs sharing any band key become candidates; estimated
-    * similarity = fraction of agreeing signature positions. */
+    * similarity = fraction of agreeing signature positions.
+    *
+    * Banding is a `posexplode` over the array of band keys — NOT a union of
+    * per-band selects: union branches are independent subtrees, so the
+    * union form re-executes the whole upstream (the signature aggregation)
+    * once per band. Explode computes signatures once and multiplies rows. */
   def lshNearDupPairs(signatures: DataFrame, k: Int = 16, bands: Int = 4,
                       minEstJaccard: Double = 0.5): DataFrame = {
     val rowsPerBand = k / bands
@@ -134,13 +139,12 @@ object Dedup {
     val bandKeys = (0 until bands).map { b =>
       md5(concat_ws(",",
         (0 until rowsPerBand).map(r => sigCols(b * rowsPerBand + r)): _*).cast("binary"))
-        .as(s"band_$b")
     }
-    val withBands = signatures.select(col("*") +: bandKeys: _*)
-    val banded = (0 until bands).map { b =>
-      withBands.select(col("doc_id"), lit(b).as("band"), col(s"band_$b").as("key"),
-        array(sigCols: _*).as("sig"))
-    }.reduce(_ union _)
+    val banded = signatures
+      .select(col("doc_id"), array(sigCols: _*).as("sig"),
+        posexplode(array(bandKeys: _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "key")
     val a = banded.select(col("band"), col("key"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("key"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
     a.join(b, Seq("band", "key"))
@@ -196,11 +200,14 @@ object Dedup {
         (id, simhash60(Option(text).getOrElse("").toLowerCase
           .split("\\s+").toSeq.filter(_.nonEmpty)))
       }.toDF("doc_id", "simhash")
-    val banded = (0 until 4).map { b =>
-      sims.select(col("doc_id"), col("simhash"),
-        lit(b).as("band"),
-        shiftright(col("simhash"), b * 15).bitwiseAND(lit(0x7fffL)).as("key"))
-    }.reduce(_ union _)
+    // posexplode, not union-of-bands: the union form would re-run the
+    // simhash kernel map once per band (4× the whole scan+hash work)
+    val banded = sims
+      .select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("simhash"), b * 15).bitwiseAND(lit(0x7fffL))): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "key")
     val a = banded.select(col("band"), col("key"), col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
     val b2 = banded.select(col("band"), col("key"), col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
     a.join(b2, Seq("band", "key"))
@@ -228,15 +235,16 @@ object Dedup {
     val planes = Similarity.hyperplanes(bands * bitsPerBand, dim, seed)
     val bandKeys = (0 until bands).map { b =>
       Similarity.lshBucket(col("embedding"),
-        planes.slice(b * bitsPerBand, (b + 1) * bitsPerBand)).as(s"bk_$b")
+        planes.slice(b * bitsPerBand, (b + 1) * bitsPerBand))
     }
-    val keyed = embeddings.select(
-      Seq(col("vec_id"), col("embedding"),
-        Similarity.normCol(col("embedding")).as("nrm")) ++ bandKeys: _*)
-    val banded = (0 until bands).map { b =>
-      keyed.select(col("vec_id"), col("embedding"), col("nrm"),
-        lit(b).as("band"), col(s"bk_$b").as("key"))
-    }.reduce(_ union _)
+    // posexplode, not union-of-bands: union branches re-scan the embedding
+    // table and recompute every hyperplane projection once per band
+    val banded = embeddings
+      .select(col("vec_id"), col("embedding"),
+        Similarity.normCol(col("embedding")).as("nrm"),
+        posexplode(array(bandKeys: _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "key")
     val a = banded.select(col("band"), col("key"), col("vec_id").as("id_a"),
       col("embedding").as("e_a"), col("nrm").as("n_a"))
     val b2 = banded.select(col("band"), col("key"), col("vec_id").as("id_b"),
