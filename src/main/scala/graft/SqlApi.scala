@@ -1,0 +1,55 @@
+package graft
+
+import graft.kernel.{Extract, Router}
+import graft.model.{Doc, Span}
+import graft.ops.{Dedup, TextAnalysis}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.graft.ColumnBridge
+
+/** The pure-SQL surface: one call registers graft's kernel and native
+  * functions on a session, so `spark.sql(...)` users can run every pipeline
+  * shape without touching the Scala API (SURVEY §2.10's SQL-facing
+  * variant). Deterministic, errors-as-data — same kernels the typed
+  * pipeline uses.
+  *
+  * `extract_spans` takes the span arrays as parallel field slices because
+  * SQL callers already have them as `spans.kind`, `spans.text`, … — no
+  * struct re-encoding needed:
+  * {{{
+  *   SELECT doc_id, posexplode(extract_spans(
+  *     doc_id, spans.kind, spans.text, spans.media_ref, spans.offset))
+  *   FROM docs
+  * }}}
+  */
+object SqlApi {
+
+  def registerAll(spark: SparkSession): Unit = {
+    // native codegen expression — planned directly, not a UDF wrapper
+    ColumnBridge.registerExpression(spark, "vec_dot", { exprs =>
+      require(exprs.length == 2,
+        s"vec_dot requires exactly 2 arguments (two array<float>), got ${exprs.length}")
+      functions.VecDot(exprs(0), exprs(1))
+    })
+
+    // extraction kernel: 1 doc → reading-ordered output spans
+    spark.udf.register("extract_spans",
+      (docId: String, kinds: Seq[String], texts: Seq[String],
+       refs: Seq[String], offsets: Seq[Int]) => {
+        val spans = (0 until (if (kinds == null) 0 else kinds.size)).map { i =>
+          Span(kinds(i), texts(i), refs(i), offsets(i))
+        }
+        Extract.extractDoc(Doc(docId, spans)).spans
+      })
+
+    // sketches / fingerprints (same tokenization as the battery operators)
+    def toks(text: String): Seq[String] =
+      Option(text).getOrElse("").toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+    spark.udf.register("simhash60", (text: String) => Dedup.simhash60(toks(text)))
+    spark.udf.register("rolling_fp", (text: String) => TextAnalysis.rollingHash(toks(text)))
+
+    // routing (P5) and prompt resolution (P1) for SQL-side dispatch
+    spark.udf.register("optimal_prompt_mode",
+      (format: String, quality: String) => Router.optimalPromptMode(format, quality))
+    spark.udf.register("resolve_prompt", (mode: String) => Router.resolvePrompt(mode))
+  }
+}

@@ -14,4 +14,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a native expression as a session-temporary SQL function, so
+    * `spark.sql("SELECT vec_dot(a, b) ...")` plans the codegen'd expression
+    * directly (not a UDF wrapper). */
+  def registerExpression(spark: org.apache.spark.sql.SparkSession, name: String,
+                         builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
 }

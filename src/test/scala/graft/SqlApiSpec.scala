@@ -1,0 +1,58 @@
+package graft
+
+import graft.pipeline.{ExtractionPipeline, SparkTestSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL surface must compute exactly what the typed pipeline computes —
+  * a SQL-only user switching from the reference gets identical results. */
+class SqlApiSpec extends AnyFunSuite {
+
+  private lazy val spark = { val s = SparkTestSession.spark; SqlApi.registerAll(s); s }
+
+  test("extract_spans via spark.sql equals the typed extraction pipeline") {
+    import spark.implicits._
+    val docs = ExtractionPipeline.synthDocs(spark, 30, seed = 17, parallelism = 2)
+    docs.createOrReplaceTempView("sql_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id, extract_spans(
+        |  doc_id, spans.kind, spans.text, spans.media_ref, spans.offset) AS spans
+        |FROM sql_docs""".stripMargin)
+      .as[(String, Seq[graft.model.Span])].collect().toMap
+    val viaTyped = ExtractionPipeline.extract(docs).collect()
+      .map(r => r.doc_id -> r.spans).toMap
+    assert(viaSql.keySet == viaTyped.keySet)
+    viaTyped.foreach { case (id, spans) =>
+      assert(viaSql(id) == spans, s"doc $id diverges between SQL and typed API")
+    }
+  }
+
+  test("vec_dot in SQL plans the native expression and matches the column API") {
+    import spark.implicits._
+    val df = Seq((Seq(1f, 2f, 3f), Seq(4f, 5f, 6f))).toDF("a", "b")
+    df.createOrReplaceTempView("sql_vecs")
+    val viaSql = spark.sql("SELECT vec_dot(a, b) AS d FROM sql_vecs")
+    assert(viaSql.queryExecution.analyzed.toString.contains("vec_dot"),
+      "must plan the native expression, not a UDF wrapper")
+    assert(viaSql.collect()(0).getDouble(0) == 32.0)
+    val viaCol = df.select(graft.functions.VecMath.vecDot(
+      org.apache.spark.sql.functions.col("a"),
+      org.apache.spark.sql.functions.col("b"))).collect()(0).getDouble(0)
+    assert(viaCol == 32.0)
+  }
+
+  test("sketch and routing functions are SQL-callable with kernel semantics") {
+    val r = spark.sql(
+      """SELECT simhash60('the quick brown fox') AS sh,
+        |  rolling_fp('the quick brown fox') AS fp,
+        |  optimal_prompt_mode('FORM', 'DIGITAL') AS m1,
+        |  optimal_prompt_mode('TABLE', 'PHOTO') AS m2,
+        |  resolve_prompt('not_a_mode') AS passthrough""".stripMargin).collect()(0)
+    assert(r.getLong(0) == graft.ops.Dedup.simhash60(
+      Seq("the", "quick", "brown", "fox")))
+    assert(r.getLong(1) == graft.ops.TextAnalysis.rollingHash(
+      Seq("the", "quick", "brown", "fox")))
+    assert(r.getString(2) == graft.kernel.Router.GroundingOcr)
+    assert(r.getString(3) == graft.kernel.Router.LayoutAll)
+    assert(r.getString(4) == "not_a_mode")
+  }
+}
