@@ -138,4 +138,37 @@ object Snapshot {
         "n_pages", "partition_id", "kernel_nanos")
       .as[DocResult]
   }
+
+  /** Iceberg-style time travel: the table as of snapshot `snapshotId`
+    * (inclusive). Visibility is defined by the immutable manifest log —
+    * later commits simply don't exist for this reader. The filter is on the
+    * `snapshot=` partition directory, so pruning happens at the file
+    * listing, never by scanning newer data. */
+  def readAt(spark: SparkSession, outDir: String, snapshotId: Long): Dataset[DocResult] = {
+    import spark.implicits._
+    spark.read.parquet(s"$outDir/data")
+      .filter(col("snapshot") <= snapshotId)
+      .select("doc_id", "spans", "success", "failure_code", "n_spans",
+        "n_pages", "partition_id", "kernel_nanos")
+      .as[DocResult]
+  }
+
+  /** The manifest log: committed snapshot ids (ascending) with their
+    * per-bucket lineage — the audit surface for time travel and resume. */
+  def snapshots(outDir: String): Seq[(Long, Seq[BucketLineage])] = {
+    val dir = manifestDir(outDir)
+    if (!Files.isDirectory(dir)) return Seq.empty
+    Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.matches("manifest-\\d+\\.json"))
+      .map { p =>
+        val root = mapper.readTree(Files.readAllBytes(p))
+        val id = root.get("snapshot_id").asLong()
+        val lineage = root.get("buckets").elements().asScala.map { b =>
+          BucketLineage(b.get("bucket").asInt(), b.get("n_docs").asLong(),
+            b.get("n_pages").asLong(), b.get("n_spans").asLong(),
+            b.get("n_failures").asLong(), b.get("wall_ms").asLong())
+        }.toSeq
+        (id, lineage)
+      }.toSeq.sortBy(_._1)
+  }
 }

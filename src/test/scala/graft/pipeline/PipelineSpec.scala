@@ -88,6 +88,17 @@ class PipelineSpec extends AnyFunSuite {
     val cold = canon(Snapshot.readResults(spark, coldDir).collect().toSeq)
     assert(resumed == cold)
     assert(resumed.size == 100)
+
+    // time travel: snapshot 0 sees exactly the first commit's docs, the
+    // latest snapshot sees everything, and the manifest log matches
+    val log = Snapshot.snapshots(dir)
+    assert(log.map(_._1) == log.map(_._1).sorted && log.nonEmpty)
+    val at0 = Snapshot.readAt(spark, dir, 0).collect()
+    assert(at0.length == log.head._2.map(_.n_docs).sum,
+      s"snapshot 0 row count vs its manifest lineage")
+    assert(at0.length < 100, "older snapshot must not see later commits")
+    assert(canon(Snapshot.readAt(spark, dir, log.last._1).collect().toSeq) == cold)
+    assert(log.flatMap(_._2).map(_.n_docs).sum == 100)
     docs.unpersist()
   }
 
