@@ -255,6 +255,11 @@ object SparkEntry {
         Multimodal.synthMediaTable(t(s, d, "documents").select("doc_id")))
         .orderBy("media_id")
     }),
+    "m4_frame_sample" -> ((s, d) => {
+      Multimodal.sampleFrames(
+        Multimodal.synthMediaTable(t(s, d, "documents").select("doc_id")))
+        .orderBy("media_id", "frame_idx")
+    }),
     "m3_binary_ingest" -> ((s, _) => {
       // real end-to-end binary ingestion (client.py:42-86 shape): render
       // genuine PNGs to a fixture dir (idempotent), read them back through
@@ -664,6 +669,16 @@ object SparkEntry {
          |      THEN 'BBOX_REQUIRED' ELSE '' END AS failure_code
          |FROM m ORDER BY doc_id""".stripMargin
     },
+    "m4_frame_sample" ->
+      """WITH m AS (SELECT doc_id AS media_id, md5(doc_id::VARCHAR) AS h FROM documents),
+        |d AS (SELECT media_id, ('0x' || substr(h,9,2))::INT % 60 + 1 AS duration_s FROM m),
+        |n AS (SELECT media_id, duration_s, least(duration_s, 8) AS n_frames FROM d),
+        |f AS (SELECT media_id, duration_s, n_frames,
+        |   unnest(generate_series(0, n_frames - 1)) AS frame_idx FROM n)
+        |SELECT media_id, duration_s, n_frames, frame_idx,
+        | (frame_idx * duration_s * 1000) // n_frames AS frame_ts_ms,
+        | md5(media_id::VARCHAR || '_' || frame_idx::VARCHAR) AS frame_ref
+        |FROM f ORDER BY media_id, frame_idx""".stripMargin,
     "m3_binary_ingest" ->
       """SELECT doc_id AS media_id,
         | (doc_id % 48 + 16)::INT AS width,

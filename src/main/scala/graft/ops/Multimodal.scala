@@ -107,6 +107,30 @@ object Multimodal {
     }
   }
 
+  /** Frame sampling for video-ish media: duration metadata → uniform
+    * timestamps → one row per sampled frame (`posexplode` of the frame
+    * index sequence). The decode step is the deterministic stub (no video
+    * codecs in this container — frame refs are content-addressed hashes a
+    * real decoder would replace with frame bytes); the Spark plumbing —
+    * schema, per-row fan-out, timestamp math, bounded frames/media — is the
+    * real part and is what survives a codec swap. SQL-expressible, so m4's
+    * DuckDB oracle reproduces it exactly. */
+  def sampleFrames(media: DataFrame, maxFrames: Int = 8): DataFrame = {
+    val h = md5(col("media_id").cast("string").cast("binary"))
+    val dur = (conv(substring(h, 9, 2), 16, 10).cast("int") % 60 + 1).as("duration_s")
+    media.select(col("media_id"), dur)
+      .withColumn("n_frames", least(col("duration_s"), lit(maxFrames)))
+      .select(col("media_id"), col("duration_s"), col("n_frames"),
+        posexplode(sequence(lit(0), col("n_frames") - 1)))
+      .drop("pos")
+      .withColumnRenamed("col", "frame_idx")
+      .withColumn("frame_ts_ms",
+        floor(col("frame_idx") * col("duration_s") * 1000 / col("n_frames")).cast("long"))
+      .withColumn("frame_ref",
+        md5(concat(col("media_id").cast("string"), lit("_"),
+          col("frame_idx").cast("string")).cast("binary")))
+  }
+
   /** Image formats this JVM can actually encode (JDK17 ImageIO: png, jpeg,
     * bmp, gif, tiff, wbmp — NO webp; the reference's WebP path,
     * client.py:113-123, is represented by the format tag only and noted as
