@@ -224,6 +224,30 @@ object SparkEntry {
     "d6_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(t(s, d, "documents"), maxHamming = 6)
         .orderBy("doc_a", "doc_b")),
+    "d7_dup_clusters" -> ((s, d) =>
+      // pairs → connected components → (doc, cluster keeper): what a
+      // curation pipeline actually consumes; oracle = recursive CTE over
+      // the identical d4 pair graph
+      Dedup.duplicateClusters(
+        Dedup.lshNearDupPairs(Dedup.minhashSignatures(t(s, d, "documents"))))
+        .orderBy("doc_id")),
+    "c1_curation" -> ((s, d) => {
+      // composite curation pipeline: quality gate ∧ language gate ∧
+      // exact-dedup keeper, rolled up per source — the end-to-end shape a
+      // training-data pipeline runs nightly
+      val docs = t(s, d, "documents")
+      val quality = TextAnalysis.qualityScore(docs)
+        .filter(col("quality_label") === "ok").select("doc_id")
+      val lang = TextAnalysis.langId(docs)
+        .filter(col("lang_id") === "en").select("doc_id")
+      val keepers = Dedup.exactDedup(docs)
+        .select(col("keeper_doc_id").as("doc_id"))
+      docs.join(quality, Seq("doc_id")).join(lang, Seq("doc_id"))
+        .join(keepers, Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), round(avg("n_chars"), 6).as("avg_chars"))
+        .orderBy("source")
+    }),
     // ---- similarity search ----
     "s1_cosine_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -368,8 +392,41 @@ object SparkEntry {
 
   /** DuckDB twins of every SQL-expressible query above. Shared determinism
     * rules: md5-derived 60-bit hashes (`('0x'||substr(md5(x),1,15))::BIGINT`
-    * ≡ Spark `conv(substr(md5(x),1,15),16,10)`), round(…, ≤6), ORDER BY. */
-  def oracleSql: Map[String, String] = Map(
+    * ≡ Spark `conv(substr(md5(x),1,15),16,10)`), round(…, ≤6), ORDER BY.
+    * Composite queries (d7, c1) embed the base oracles as CTE subqueries so
+    * the twins stay in lockstep by construction. */
+  def oracleSql: Map[String, String] = {
+    val base = baseOracleSql
+    base ++ Map(
+      "d7_dup_clusters" ->
+        // connected components of the d4 pair graph via a recursive CTE:
+        // reach = every (doc, label-of-a-node-that-reaches-doc); component
+        // id = min reachable label (edges are symmetric)
+        s"""WITH RECURSIVE pairs AS (
+           |${base("d4_lsh_pairs")}),
+           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+           |nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+           |reach(doc_id, label) AS (
+           |  SELECT doc_id, doc_id FROM nodes
+           |  UNION
+           |  SELECT e.dst, r.label FROM reach r JOIN edges e ON r.doc_id = e.src)
+           |SELECT doc_id, min(label) AS cluster_id
+           |FROM reach GROUP BY 1 ORDER BY doc_id""".stripMargin,
+      "c1_curation" ->
+        s"""WITH q AS (SELECT doc_id FROM (
+           |${base("t2_quality")}) WHERE quality_label = 'ok'),
+           |l AS (SELECT doc_id FROM (
+           |${base("t3_langid")}) WHERE lang_id = 'en'),
+           |k AS (SELECT min(doc_id) AS doc_id FROM documents
+           |  GROUP BY md5(lower(trim(text))))
+           |SELECT source, count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars
+           |FROM documents
+           |JOIN q USING (doc_id) JOIN l USING (doc_id) JOIN k USING (doc_id)
+           |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  private def baseOracleSql: Map[String, String] = Map(
     "q1_lineitem_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
         | round(sum(l_quantity),4) AS sum_qty,

@@ -219,6 +219,44 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
   }
 
+  /** Duplicate clusters from a candidate-pair table: connected components
+    * by iterative min-label propagation (the Pregel/small-star shape —
+    * each round every node adopts the smallest label in its neighborhood;
+    * converges in O(component diameter) rounds, and near-dup components are
+    * shallow by construction, so 3-4 rounds settle real corpora). Pairs →
+    * clusters is what dedup actually needs: the cluster id doubles as the
+    * deterministic keeper (min doc_id). Each round is one shuffle
+    * (neighbor join + min agg); the driver loop only checks a scalar
+    * convergence count.
+    *
+    * Input: (doc_a, doc_b) candidate pairs. Output: (doc_id, cluster_id)
+    * for every doc appearing in a pair. */
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val nodes = edges.select(col("src").as("doc_id")).distinct()
+    var labels = nodes.withColumn("label", col("doc_id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      // smallest label among self + neighbors
+      val neighborLabels = edges
+        .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .select(col("dst").as("doc_id"), col("label"))
+      val next = labels.select(col("doc_id"), col("label"))
+        .union(neighborLabels)
+        .groupBy("doc_id").agg(min("label").as("label"))
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
+        .filter(col("n.label") =!= col("o.label"))
+        .count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Embedding cosine near-duplicates, banded sign-projection LSH — the
     * production operator. `bands` independent bucket keys of `bitsPerBand`
     * random hyperplane signs each; vectors sharing any band key become

@@ -149,6 +149,17 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"banded recall on near-identical twins: $recall")
   }
 
+  test("duplicateClusters computes connected components with min-label keepers") {
+    import SparkTestSessionImport.spark.implicits._
+    // chain, pair, and a cycle — plus transitivity across the chain
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (22L, 20L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("IVF ANN with trained k-means centers finds planted twins as top-1") {
     import SparkTestSessionImport.spark.implicits._
     val rnd = new scala.util.Random(21)
