@@ -12,8 +12,9 @@ import org.apache.spark.sql.functions._
   *     with `-XX:ActiveProcessorCount=N` so GC/JIT/common-pool threads are
   *     sized to the simulated core count (otherwise the JVM quietly uses
   *     all 32 host cores for GC and the levels are not comparable).
-  *     Per level: 2 full warmup runs (C2 compilation), then best-of-3 timed
-  *     runs. Efficiency = (tp@4N / tp@N) / 4, target ≥ 0.8.
+  *     Per level: 2 full warmup runs (C2 compilation), then best-of-4 timed
+  *     runs (SPARK_GRAFT_BENCH_PASSES). Efficiency = (tp@4N / tp@N) / 4,
+  *     target ≥ 0.8.
   *  2. **Headline queries**: every SparkEntry query against
   *     $SPARK_GRAFT_SF_DIR at local[$SPARK_GRAFT_CPUS], forced through the
   *     noop sink so projections/joins actually execute.
@@ -61,10 +62,15 @@ object Bench {
   private def runLevel(level: Int, corpus: String, parts: Int,
                        fusedArg: Long): Map[String, Double] = {
     val java = s"${System.getProperty("java.home")}/bin/java"
-    val taskset =
-      if (new _root_.java.io.File("/usr/bin/taskset").canExecute)
-        Seq("/usr/bin/taskset", "-c", s"0-${level - 1}")
-      else Seq.empty[String]
+    // resolve taskset from PATH, not a hardcoded location — silently
+    // unpinned levels would quietly inflate the low-level throughput ~8%
+    val tasksetBin = (sys.env.getOrElse("PATH", "").split(':').toSeq :+ "/usr/bin")
+      .map(dir => new _root_.java.io.File(dir, "taskset"))
+      .find(_.canExecute).map(_.getAbsolutePath)
+    if (tasksetBin.isEmpty)
+      System.err.println("[bench] WARNING: taskset not found — levels run " +
+        "UNPINNED; scaling efficiency will be overstated on idle hosts")
+    val taskset = tasksetBin.toSeq.flatMap(t => Seq(t, "-c", s"0-${level - 1}"))
     val cmd = taskset ++ Seq(java, s"-XX:ActiveProcessorCount=$level",
       s"-Xmx${sys.env.getOrElse("SPARK_GRAFT_WORKER_MEM", "48g")}",
       "-XX:G1HeapRegionSize=32m", // monster docs allocate multi-MB arrays;
@@ -161,7 +167,7 @@ object Bench {
   }
 }
 
-/** Child-JVM worker: one scaling level, warmups then best-of-3 timing. */
+/** Child-JVM worker: one scaling level, warmups then best-of-k timing. */
 object BenchWorker {
   def main(args: Array[String]): Unit = {
     val Array(levelS, corpus, partsS, fusedS) = args
@@ -211,7 +217,7 @@ object BenchWorker {
     System.err.println(s"DEBUG timed walls: ${timed.map(t => f"${t._1}%.2f").mkString(", ")}")
     // best-of-k: peak sustained throughput, robust to GC/host noise in a
     // shared sandbox (each pass is a full multi-hundred-k-doc job, not a
-    // microbench); ~5 min total keeps the per-round driver bench safe
+    // microbench); both levels together run ~3.5 min, whole bench ~6 min
     val best = timed.minBy(_._1)
     val (wall, nDocs, nPages, nSpans) = best
     val totalSec = (System.nanoTime() - tTotal0) / 1e9

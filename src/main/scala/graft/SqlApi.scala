@@ -31,12 +31,18 @@ object SqlApi {
       functions.VecDot(exprs(0), exprs(1))
     })
 
-    // extraction kernel: 1 doc → reading-ordered output spans
+    // extraction kernel: 1 doc → reading-ordered output spans. Errors are
+    // data: null or length-mismatched field slices degrade to defaults for
+    // the missing fields instead of throwing from inside a task.
     spark.udf.register("extract_spans",
       (docId: String, kinds: Seq[String], texts: Seq[String],
        refs: Seq[String], offsets: Seq[Int]) => {
-        val spans = (0 until (if (kinds == null) 0 else kinds.size)).map { i =>
-          Span(kinds(i), texts(i), refs(i), offsets(i))
+        def at(xs: Seq[String], i: Int): String =
+          if (xs != null && i < xs.size && xs(i) != null) xs(i) else ""
+        val n = if (kinds == null) 0 else kinds.size
+        val spans = (0 until n).map { i =>
+          val off = if (offsets != null && i < offsets.size) offsets(i) else i
+          Span(at(kinds, i), at(texts, i), at(refs, i), off)
         }
         Extract.extractDoc(Doc(docId, spans)).spans
       })

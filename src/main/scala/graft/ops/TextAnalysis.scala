@@ -86,6 +86,39 @@ object TextAnalysis {
     df.select(col("doc_id"),
       md5(lower(trim(col(textCol))).cast("binary")).as("fingerprint"))
 
+  /** The quality label as a single column expression over raw text — for
+    * single-pass composites (c1) that gate on quality without paying a
+    * separate scan per derived table. Same rounded-ratio semantics as
+    * `qualityScore` (spec-pinned equal). */
+  def qualityLabelCol(t: Column): Column = {
+    val toks = tokens(t)
+    val nToks = size(toks)
+    val nChars = length(t)
+    val stopHits = size(filter(toks, x => x.isin(EnStopwords: _*)))
+    val stopRatio = round(stopHits.cast("double") / greatest(nToks, lit(1)), 6)
+    val meanTokLen =
+      round((nChars - nToks + 1).cast("double") / greatest(nToks, lit(1)), 6)
+    when(nToks < 10, "too_short")
+      .when(stopRatio < 0.01, "suspicious")
+      .when(meanTokLen > 12.0, "suspicious")
+      .otherwise("ok")
+  }
+
+  /** The language id as a single column expression (same argmax/tie/zh
+    * semantics as `langId`; spec-pinned equal). */
+  def langIdCol(t: Column): Column = {
+    val toks = tokens(lower(t))
+    val scores = LangMarkers.map { case (_, ms) =>
+      size(filter(toks, x => x.isin(ms: _*)))
+    }
+    val maxScore = greatest(scores: _*)
+    val pick = LangMarkers.zip(scores).foldRight(lit("und")) {
+      case (((lang, _), sc), els) =>
+        when(sc === maxScore && maxScore > 0, lit(lang)).otherwise(els)
+    }
+    when(t.rlike("[\\u4e00-\\u9fff]"), "zh").otherwise(pick)
+  }
+
   /** BPE-ish regex token counting: letter runs, digit runs, and single
     * non-alphanumeric marks — the tokenizer-shaped budget count used when a
     * real BPE vocab isn't loadable (the usual pre-tokenizer split classes).

@@ -41,25 +41,26 @@ object Snapshot {
 
   def manifestDir(outDir: String): Path = Paths.get(outDir, "_snapshot")
 
-  def completedBuckets(outDir: String): Set[Int] = {
+  /** List manifest files, closing the directory stream (Files.list leaks
+    * an fd per call otherwise). */
+  private def manifestFiles(outDir: String): Seq[Path] = {
     val dir = manifestDir(outDir)
-    if (!Files.isDirectory(dir)) return Set.empty
-    Files.list(dir).iterator().asScala
-      .filter(_.getFileName.toString.matches("manifest-\\d+\\.json"))
-      .flatMap { p =>
-        val root = mapper.readTree(Files.readAllBytes(p))
-        root.get("buckets").elements().asScala.map(_.get("bucket").asInt())
-      }.toSet
+    if (!Files.isDirectory(dir)) return Seq.empty
+    val stream = Files.list(dir)
+    try stream.iterator().asScala
+      .filter(_.getFileName.toString.matches("manifest-\\d+\\.json")).toSeq
+    finally stream.close()
   }
 
+  def completedBuckets(outDir: String): Set[Int] =
+    manifestFiles(outDir).flatMap { p =>
+      val root = mapper.readTree(Files.readAllBytes(p))
+      root.get("buckets").elements().asScala.map(_.get("bucket").asInt())
+    }.toSet
+
   private def nextManifestId(outDir: String): Int = {
-    val dir = manifestDir(outDir)
-    if (!Files.isDirectory(dir)) return 0
-    val ids = Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.matches("manifest-\\d+\\.json") =>
-        s.stripPrefix("manifest-").stripSuffix(".json").toInt }
-      .toSeq
+    val ids = manifestFiles(outDir).map(_.getFileName.toString)
+      .map(_.stripPrefix("manifest-").stripSuffix(".json").toInt)
     if (ids.isEmpty) 0 else ids.max + 1
   }
 
@@ -130,14 +131,13 @@ object Snapshot {
     RunReport(limited.flatten, done.toSeq.sorted)
   }
 
-  /** Read back all committed results across snapshots. */
-  def readResults(spark: SparkSession, outDir: String): Dataset[DocResult] = {
-    import spark.implicits._
-    spark.read.parquet(s"$outDir/data")
-      .select("doc_id", "spans", "success", "failure_code", "n_spans",
-        "n_pages", "partition_id", "kernel_nanos")
-      .as[DocResult]
-  }
+  /** Read back all committed results: visibility comes from the manifest
+    * log, never from what happens to sit in the data directory — a crash
+    * between the parquet write and the manifest commit leaves an orphaned
+    * `snapshot=K` dir that no reader must see (run() overwrites it on
+    * retry). Realized as readAt of the latest committed id. */
+  def readResults(spark: SparkSession, outDir: String): Dataset[DocResult] =
+    readAt(spark, outDir, snapshots(outDir).lastOption.map(_._1).getOrElse(-1L))
 
   /** Iceberg-style time travel: the table as of snapshot `snapshotId`
     * (inclusive). Visibility is defined by the immutable manifest log —
@@ -146,8 +146,13 @@ object Snapshot {
     * listing, never by scanning newer data. */
   def readAt(spark: SparkSession, outDir: String, snapshotId: Long): Dataset[DocResult] = {
     import spark.implicits._
+    // only manifest-committed ids are visible — an isin() on the committed
+    // set (not `<= id`) so orphaned data dirs from a crash between the
+    // parquet write and the manifest commit never leak into a read; the
+    // filter stays on the partition column (pruned at file listing)
+    val committed = snapshots(outDir).map(_._1).filter(_ <= snapshotId)
     spark.read.parquet(s"$outDir/data")
-      .filter(col("snapshot") <= snapshotId)
+      .filter(col("snapshot").isin(committed: _*))
       .select("doc_id", "spans", "success", "failure_code", "n_spans",
         "n_pages", "partition_id", "kernel_nanos")
       .as[DocResult]
@@ -156,10 +161,7 @@ object Snapshot {
   /** The manifest log: committed snapshot ids (ascending) with their
     * per-bucket lineage — the audit surface for time travel and resume. */
   def snapshots(outDir: String): Seq[(Long, Seq[BucketLineage])] = {
-    val dir = manifestDir(outDir)
-    if (!Files.isDirectory(dir)) return Seq.empty
-    Files.list(dir).iterator().asScala
-      .filter(_.getFileName.toString.matches("manifest-\\d+\\.json"))
+    manifestFiles(outDir).iterator
       .map { p =>
         val root = mapper.readTree(Files.readAllBytes(p))
         val id = root.get("snapshot_id").asLong()

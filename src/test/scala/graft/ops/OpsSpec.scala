@@ -54,6 +54,17 @@ class OpsSpec extends AnyFunSuite {
     assert(ann.nonEmpty)
   }
 
+  test("single-pass gate columns agree with the DataFrame operators (no drift)") {
+    val viaOps = TextAnalysis.qualityScore(docs).select("doc_id", "quality_label")
+      .join(TextAnalysis.langId(docs).select("doc_id", "lang_id"), "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    val viaCols = docs.select(col("doc_id"),
+      TextAnalysis.qualityLabelCol(col("text")),
+      TextAnalysis.langIdCol(col("text")))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(viaCols == viaOps)
+  }
+
   test("language ID picks en for the synthetic corpus (en markers present)") {
     val l = TextAnalysis.langId(docs).groupBy("lang_id").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
