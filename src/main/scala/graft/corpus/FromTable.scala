@@ -44,7 +44,7 @@ object FromTable {
         val chunks = words.grouped(12).toSeq.take(6)
         val parts = chunks.zipWithIndex.map { case (ws, i) =>
           val y1 = 100 + i * 80
-          s"""{"bbox": [80, $y1, 1100, ${y1 + 60}], "category": "${if (i == 0) "Title" else "Text"}", "text": "${ws.mkString(" ")}"}"""
+          s"""{"bbox": [80, $y1, 1100, ${y1 + 60}], "category": "${if (i == 0) "Title" else "Text"}", "text": "${Synth.jsonEscape(ws.mkString(" "))}"}"""
         }
         add(Kinds.TextKind, parts.mkString("[", ", ", "]"), "")
     }

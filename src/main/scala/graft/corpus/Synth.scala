@@ -47,7 +47,7 @@ object Synth {
 
   // ---------- layout-JSON page (model-output shape) ----------
 
-  private def jsonEscape(s: String): String =
+  def jsonEscape(s: String): String =
     s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
@@ -212,14 +212,18 @@ object Synth {
       else (120 + r.nextInt(600), 90 + r.nextInt(400))
     val base = s"synth://img/$x1,$y1,${x1 + w},${y1 + h}"
     if (chart) {
+      // leading/trailing pipes like markdownPage: a 2-col row without them
+      // splits to only 2 cells and parseMarkdownTable (faithful >=3-cell
+      // reference rule) would reject every row — the chart would silently
+      // never structure
       val cols = 2 + r.nextInt(3)
-      val md = new StringBuilder("cat")
+      val md = new StringBuilder("| cat")
       (1 until cols).foreach(i => md.append(" | s").append(i))
-      md.append("\n---|").append("---|" * (cols - 1)).append("\n")
+      md.append(" |\n|---").append("|---" * (cols - 1)).append("|\n")
       (0 until 2 + r.nextInt(3)).foreach { _ =>
-        md.append(r.pick(wordBank))
+        md.append("| ").append(r.pick(wordBank))
         (1 until cols).foreach(_ => md.append(" | ").append(r.nextInt(900)))
-        md.append("\n")
+        md.append(" |\n")
       }
       base + "?md=" + java.net.URLEncoder.encode(md.toString, "UTF-8")
     } else base

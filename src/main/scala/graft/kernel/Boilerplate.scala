@@ -33,6 +33,9 @@ object Boilerplate {
     val stack = scala.collection.mutable.Stack[Tag](root)
     var i = 0
     val n = html.length
+    // lowercased once: raw-text close-tag scans previously re-lowercased
+    // the whole page per script/style tag (O(tags × pageLen) allocations)
+    lazy val htmlLower = html.toLowerCase
     val text = new StringBuilder
     def flushText(): Unit = {
       val t = text.toString
@@ -72,7 +75,7 @@ object Boilerplate {
               if (rawTextTags.contains(name)) {
                 // consume raw text up to the matching close tag
                 val close = s"</$name"
-                val j = html.toLowerCase.indexOf(close, end + 1)
+                val j = htmlLower.indexOf(close, end + 1)
                 val stop = if (j < 0) n else j
                 tag.children += TextNode(html.substring(end + 1, stop))
                 val gt = html.indexOf('>', stop)
@@ -82,7 +85,6 @@ object Boilerplate {
                 i = end + 1
               }
             } else i = end + 1
-            if (rawTextTags.contains(name)) () // i already advanced
           }
         } else { text.append(c); i += 1 }
       } else { text.append(c); i += 1 }
@@ -211,8 +213,6 @@ object Boilerplate {
       val (t, b) = layout.place(if (lines > 0) lines else textLines(text))
       out += Element(layout.x1, t, layout.x2, b, category, text, mediaRef)
     }
-    var inFooter = false
-    var inHeader = false
     def walk(node: Node): Unit = node match {
       case TextNode(t) =>
         val s = wsRun.matcher(t).replaceAll(" ").trim
@@ -221,15 +221,11 @@ object Boilerplate {
         if (isBoilerplateMemo(tag, statsCache) && name != "header" && name != "footer") return
         name match {
           case "header" =>
-            inHeader = true
             val txt = innerText(tag)
             if (txt.nonEmpty) emit("Page-header", txt, lines = 1)
-            inHeader = false
           case "footer" =>
-            inFooter = true
             val txt = innerText(tag)
             if (txt.nonEmpty) emit("Page-footer", txt, lines = 1)
-            inFooter = false
           case headingRe(lvl) =>
             val txt = innerText(tag)
             if (txt.nonEmpty)

@@ -27,7 +27,11 @@ object Charts {
   def chartPayload(mediaRef: String): Option[String] = {
     val i = mediaRef.indexOf("?md=")
     if (i < 0) None
-    else Some(java.net.URLDecoder.decode(mediaRef.substring(i + 4), "UTF-8"))
+    else
+      // malformed percent-encoding is data, not an exception (the kernel
+      // never throws): an undecodable payload means "no structured chart"
+      try Some(java.net.URLDecoder.decode(mediaRef.substring(i + 4), "UTF-8"))
+      catch { case _: IllegalArgumentException => None }
   }
 
   /** Build the synthesized Table element for a structured chart. */

@@ -88,7 +88,10 @@ object Extract {
   def classify(text: String): String = {
     val t = LayoutJson.stripFences(text)
     val arr = t.indexOf('[')
-    if (arr >= 0 && t.indexOf("\"bbox\"", arr) > arr && t.indexOf("\"category\"", arr) > arr)
+    // bbox OR category: a generation truncated before the first category
+    // key must still route to the tolerant layout parser (which reports
+    // TRUNCATED) rather than fall through to markdown as plain text
+    if (arr >= 0 && (t.indexOf("\"bbox\"", arr) > arr || t.indexOf("\"category\"", arr) > arr))
       "layout-json"
     else if (tagRe.matcher(t).find()) "html"
     else "markdown"
@@ -116,15 +119,27 @@ object Extract {
     (Charts.process(ordered).toVector, code)
   }
 
-  private def mediaElement(m: Span): Element = m.media_ref match {
-    case synthImgRe(x1, y1, x2, y2, _) =>
-      Element(x1.toDouble, y1.toDouble, x2.toDouble, y2.toDouble,
-        "Picture", "", m.media_ref)
-    case _ =>
+  private def mediaElement(m: Span): Element = {
+    // the regex class [\d.]+ admits multi-dot strings like "480.5.2" —
+    // toDouble on those throws; unknown geometry is data, never an
+    // exception (reachable with user-supplied refs via the SQL API)
+    def num(v: String): Option[Double] =
+      try Some(v.toDouble) catch { case _: NumberFormatException => None }
+    def defaultBox: Element = {
       // unknown geometry: deterministic default box keyed by offset so
       // ordering stays total
       val y = 80.0 + 40.0 * m.offset
       Element(80, y, 480, y + 300, "Picture", "", m.media_ref)
+    }
+    m.media_ref match {
+      case synthImgRe(x1, y1, x2, y2, _) =>
+        (num(x1), num(y1), num(x2), num(y2)) match {
+          case (Some(a), Some(b), Some(c), Some(d)) =>
+            Element(a, b, c, d, "Picture", "", m.media_ref)
+          case _ => defaultBox
+        }
+      case _ => defaultBox
+    }
   }
 
   /** Prompt-mode semantics on the ordered element stream (clean-room

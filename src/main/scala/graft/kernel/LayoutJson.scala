@@ -74,8 +74,12 @@ object LayoutJson {
                 case Left(())        => truncated = true; done = true
               }
             } else {
-              // non-object array member: schema violation, skip scalar
+              // non-object array member: schema violation. A nested ARRAY
+              // must be skipped wholesale — iterating into it would misread
+              // its END_ARRAY as the outer terminator and drop everything
+              // after it
               schemaViolated = true
+              if (tok == JsonToken.START_ARRAY) parser.skipChildren()
             }
           }
         } catch {
@@ -84,7 +88,6 @@ object LayoutJson {
 
         val code =
           if (truncated) FailureCodes.Truncated
-          else if (buf.isEmpty && schemaViolated) FailureCodes.SchemaViolation
           else if (schemaViolated) FailureCodes.SchemaViolation
           else FailureCodes.Ok
         ParseOutcome(buf.toVector, code)

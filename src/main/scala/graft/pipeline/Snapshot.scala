@@ -151,6 +151,7 @@ object Snapshot {
     // parquet write and the manifest commit never leak into a read; the
     // filter stays on the partition column (pruned at file listing)
     val committed = snapshots(outDir).map(_._1).filter(_ <= snapshotId)
+    if (committed.isEmpty) return spark.emptyDataset[DocResult]
     spark.read.parquet(s"$outDir/data")
       .filter(col("snapshot").isin(committed: _*))
       .select("doc_id", "spans", "success", "failure_code", "n_spans",

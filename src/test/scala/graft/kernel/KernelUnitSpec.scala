@@ -268,4 +268,32 @@ class KernelUnitSpec extends AnyFunSuite {
     assert(Extract.classify("# heading\nplain text") == "markdown")
     assert(Extract.classify("see [1] for details") == "markdown")
   }
+
+  test("nested array member is skipped wholesale, later elements survive") {
+    val out = LayoutJson.parse(
+      """[[1,2], {"bbox": [80,100,500,160], "category": "Text", "text": "hi"}]""")
+    assert(out.elements.map(_.text) == Vector("hi"),
+      "the element after the nested array must not be dropped")
+    assert(out.failureCode == FailureCodes.SchemaViolation)
+  }
+
+  test("generation truncated before the first category key still reports TRUNCATED") {
+    val doc = Doc("t", Seq(Span(Kinds.TextKind, """[{"bbox": [80, 100, 1100, 160], "cat""", "", 0)))
+    val r = Extract.extractDoc(doc)
+    assert(r.failure_code == FailureCodes.Truncated,
+      s"must route to the tolerant layout parser, got ${r.failure_code}: ${r.spans}")
+  }
+
+  test("malformed media refs are data, never exceptions") {
+    // multi-dot coordinate admitted by the [\d.]+ class
+    val multiDot = Doc("m1", Seq(Span(Kinds.MediaKind, "", "synth://img/80,100,480.5.2,400", 0)))
+    val r1 = Extract.extractDoc(multiDot)
+    assert(r1.success && r1.spans.exists(_.kind == "Picture"), "default box, no throw")
+    // malformed percent-encoding in the chart payload
+    val badPct = Doc("m2", Seq(Span(Kinds.MediaKind, "", "synth://img/0,0,200,200?md=%zz", 0)))
+    val r2 = Extract.extractDoc(badPct)
+    assert(r2.success && !r2.spans.exists(_.kind == "Table"),
+      "undecodable payload = no structured chart, no exception")
+    assert(Charts.chartPayload("x?md=%zz").isEmpty)
+  }
 }
