@@ -468,23 +468,21 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q8_props_key" ->
-      """SELECT event_type, round(avg(CAST(regexp_extract(props,'"k": (\d+)',1) AS INT)),6) AS avg_k,
-        | max(CAST(regexp_extract(props,'"k": (\d+)',1) AS INT)) AS max_k
+      """SELECT event_type, round(avg(TRY_CAST(regexp_extract(props,'"k": (\d+)',1) AS INT)),6) AS avg_k,
+        | max(TRY_CAST(regexp_extract(props,'"k": (\d+)',1) AS INT)) AS max_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "t1_token_count" ->
-      """SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
-        | ELSE len(regexp_split_to_array(trim(text),'\s+')) END AS n_tokens
+      """SELECT doc_id,
+        | len(list_filter(regexp_split_to_array(text,'\s+'), x -> x <> '')) AS n_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
     "t2_quality" ->
       s"""WITH base AS (
          | SELECT doc_id, length(text) AS n_chars,
-         |  CASE WHEN length(trim(text)) = 0 THEN 0
-         |   ELSE len(regexp_split_to_array(trim(text),'\\s+')) END AS n_tokens,
+         |  len(list_filter(regexp_split_to_array(text,'\\s+'), x -> x <> '')) AS n_tokens,
          |  length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS punct,
          |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits,
-         |  CASE WHEN length(trim(text)) = 0 THEN 0
-         |   ELSE len(list_filter(regexp_split_to_array(trim(text),'\\s+'),
-         |        x -> x IN (${TextAnalysis.EnStopwords.map("'" + _ + "'").mkString(",")}))) END AS stop_hits
+         |  len(list_filter(regexp_split_to_array(text,'\\s+'),
+         |        x -> x IN (${TextAnalysis.EnStopwords.map("'" + _ + "'").mkString(",")}))) AS stop_hits
          | FROM documents)
          |SELECT doc_id, n_chars, n_tokens,
          | round(punct::DOUBLE / greatest(n_chars,1), 6) AS punct_ratio,

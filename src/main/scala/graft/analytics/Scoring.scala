@@ -43,8 +43,16 @@ object Scoring {
     else if (n.isTextual) "s:" + n.asText().trim.toLowerCase
     else if (n.isBoolean) "n:" + (if (n.asBoolean()) "1" else "0")
     else if (n.isNumber) {
-      val d = n.asDouble()
-      "n:" + (if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString else d.toString)
+      // integral values compare exactly (Python int equality — doubles
+      // collapse distinct ints beyond 2^53); integral floats normalize to
+      // the same key so 2 == 2.0 holds like Python
+      if (n.isIntegralNumber) "n:" + n.bigIntegerValue().toString
+      else {
+        val d = n.asDouble()
+        "n:" + (if (d == math.rint(d) && !d.isInfinite)
+          java.math.BigDecimal.valueOf(d).toBigInteger.toString
+        else d.toString)
+      }
     } else n.toString
 
   private def raw(n: JsonNode): String =
@@ -141,10 +149,17 @@ object Scoring {
         col("failure_code").as("got_failure"))
     val want = golden.toDF().select(col("doc_id"), col("spans").as("want_spans"),
       col("failure_code").as("want_failure"))
-    got.join(broadcast(want), Seq("doc_id"))
-      .withColumn("spans_match", col("got_spans") === col("want_spans"))
-      .withColumn("failure_match", col("got_failure") === col("want_failure"))
+    // full outer: a result doc missing from golden (or vice versa) is a
+    // FAIL row, never a silently-shrunk verdict table
+    got.join(broadcast(want), Seq("doc_id"), "full_outer")
+      .withColumn("spans_match",
+        coalesce(col("got_spans") === col("want_spans"), lit(false)))
+      .withColumn("failure_match",
+        coalesce(col("got_failure") === col("want_failure"), lit(false)))
       .withColumn("verdict",
-        when(col("spans_match") && col("failure_match"), "PASS").otherwise("FAIL"))
+        when(col("got_spans").isNull, "FAIL_MISSING_RESULT")
+          .when(col("want_spans").isNull, "FAIL_NO_GOLDEN")
+          .when(col("spans_match") && col("failure_match"), "PASS")
+          .otherwise("FAIL"))
   }
 }

@@ -259,6 +259,7 @@ object Dedup {
         .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
         .filter(col("n.label") =!= col("o.label"))
         .count()
+      labels.unpersist() // bound cached label copies to 2, not maxIters
       labels = next
       converged = changed == 0
       i += 1

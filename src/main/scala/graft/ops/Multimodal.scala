@@ -74,6 +74,12 @@ object Multimodal {
     * — PIL crop + PNG re-encode), on the JVM via ImageIO. Returns re-encoded
     * PNG bytes of the region, or None if the bytes don't decode. */
   def cropRegion(pngBytes: Array[Byte], x1: Int, y1: Int, x2: Int, y2: Int): Option[Array[Byte]] =
+    cropRegionMeta(pngBytes, x1, y1, x2, y2).map(_._1)
+
+  /** Crop + dimensions in one pass — the dims are known from the clamped
+    * rect, so consumers never re-decode the crop just to measure it. */
+  def cropRegionMeta(pngBytes: Array[Byte], x1: Int, y1: Int, x2: Int, y2: Int)
+  : Option[(Array[Byte], Int, Int)] =
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(pngBytes))
       if (img == null) None
@@ -85,7 +91,7 @@ object Multimodal {
           val sub = img.getSubimage(cx1, cy1, cx2 - cx1, cy2 - cy1)
           val out = new java.io.ByteArrayOutputStream()
           javax.imageio.ImageIO.write(sub, "png", out)
-          Some(out.toByteArray)
+          Some((out.toByteArray, cx2 - cx1, cy2 - cy1))
         }
       }
     } catch { case _: Exception => None }
@@ -99,9 +105,8 @@ object Multimodal {
     import spark.implicits._
     pages.mapPartitions { it =>
       it.flatMap { case (id, bytes, x1, y1, x2, y2) =>
-        cropRegion(bytes, x1, y1, x2, y2).map { cropped =>
-          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(cropped))
-          (id, img.getWidth, img.getHeight, cropped)
+        cropRegionMeta(bytes, x1, y1, x2, y2).map { case (cropped, w, h) =>
+          (id, w, h, cropped)
         }
       }
     }

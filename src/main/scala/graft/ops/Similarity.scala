@@ -15,13 +15,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity of two float-array columns (computed in double). */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  /** Cosine similarity of two float-array columns (computed in double,
+    * native codegen expressions — never the aggregate(zip_with(...)) form,
+    * which materializes a dim-element struct array per row). */
+  def cosine(a: Column, b: Column): Column =
+    VecMath.vecDot(a, b) / (VecMath.vecNorm(a) * VecMath.vecNorm(b))
 
   /** Sequential-order double dot product as a tight-loop UDF. Kept ONLY as
     * the test baseline for [[graft.functions.VecDot]] (the native codegen
@@ -143,7 +141,11 @@ object Similarity {
     * lists by nearest center; each query scans only its own list (equi-join
     * on cell). The second classic ANN family next to sign-projection LSH —
     * at scale the inverted lists are the partition/bucket layout and
-    * `nCenters` grows with corpus size (cells stay bounded). */
+    * `nCenters` grows with corpus size (cells stay bounded).
+    *
+    * `dim` MUST equal the embedding width: center dots use min-length
+    * prefix semantics, so a wider corpus would silently be cell-assigned
+    * on the first `dim` components only (recall collapse, no error). */
   def ivfAnnTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                  nCenters: Int = 16, dim: Int = 64,
                  seed: Long = Synth.DefaultSeed,
@@ -170,7 +172,9 @@ object Similarity {
   /** LSH-bucketed ANN: corpus and queries hash to sign-projection buckets;
     * each query searches only its bucket (equi-join on bucket key). With
     * `nPlanes` = 8 → 256 buckets ⇒ ~256× less work than brute force, at
-    * recall traded by bucket granularity. */
+    * recall traded by bucket granularity. `dim` MUST equal the embedding
+    * width (plane dots use min-length prefix semantics — a wider corpus
+    * would silently bucket on the first `dim` components). */
   def lshAnnTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                  nPlanes: Int = 8, dim: Int = 64,
                  seed: Long = Synth.DefaultSeed): DataFrame = {

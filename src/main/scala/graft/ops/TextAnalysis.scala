@@ -13,10 +13,12 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokens of a text column (empty text → empty array). */
+  /** Whitespace tokens of a text column (empty/whitespace-only text → empty
+    * array). Spark's trim() strips only ASCII spaces, so a trailing tab or
+    * newline would leave a phantom empty token in a bare split — filter
+    * them instead of trimming (mirrored in the t1/t2 oracles). */
   def tokens(text: Column): Column =
-    when(length(trim(text)) === 0, array().cast("array<string>"))
-      .otherwise(split(trim(text), "\\s+"))
+    filter(split(text, "\\s+"), x => x =!= lit(""))
 
   def tokenCount(df: DataFrame, textCol: String = "text"): DataFrame =
     df.select(col("doc_id"), size(tokens(col(textCol))).as("n_tokens"))
@@ -144,7 +146,13 @@ object TextAnalysis {
     tokens.foreach { t =>
       var th = 1125899906842597L
       var i = 0
-      while (i < t.length) { th = 31 * th + t.charAt(i); i += 1 }
+      // per code point, not UTF-16 unit — the DuckDB oracle folds
+      // unicode(c) per character, and the two must agree beyond the BMP
+      while (i < t.length) {
+        val cp = t.codePointAt(i)
+        th = 31 * th + cp
+        i += Character.charCount(cp)
+      }
       h = h * B + th
     }
     h
