@@ -258,4 +258,17 @@ class OpsSpec extends AnyFunSuite {
       else assert(rw == 1280 || rh == 1280 || math.max(rw, rh) >= 1279)
     }
   }
+
+  test("JSON-lines and CSV doc sources round-trip the extraction input exactly") {
+    import SparkTestSessionImport.spark.implicits._
+    val spark2 = SparkTestSessionImport.spark
+    val docs = graft.pipeline.ExtractionPipeline.synthDocs(spark2, 25, seed = 31, parallelism = 2)
+    def canon(ds: org.apache.spark.sql.Dataset[graft.model.Doc]) =
+      ds.collect().map(d => (d.doc_id, d.spans)).sortBy(_._1).toSeq
+    val base = java.nio.file.Files.createTempDirectory("graft-src").toString
+    graft.sources.DocSources.writeDocsJson(docs, s"$base/json")
+    assert(canon(graft.sources.DocSources.readDocsJson(spark2, s"$base/json")) == canon(docs))
+    graft.sources.DocSources.writeDocsCsv(docs, s"$base/csv")
+    assert(canon(graft.sources.DocSources.readDocsCsv(spark2, s"$base/csv")) == canon(docs))
+  }
 }
