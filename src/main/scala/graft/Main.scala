@@ -47,10 +47,12 @@ object Main {
       mode = arg(args, "mode").getOrElse(graft.kernel.Router.LayoutAll),
       splitOversized = flag(args, "split-oversized"))
 
+    def req(name: String): String = arg(args, name).getOrElse(
+      sys.error(s"missing required flag --$name for subcommand ${args(0)}"))
     args(0) match {
       case "extract" =>
-        val in = arg(args, "in").get
-        val out = arg(args, "out").get
+        val in = req("in")
+        val out = req("out")
         val results = ExtractionPipeline.extract(DocSources.readDocs(spark, in), cfg)
         DocSources.writeResults(results, out)
         // re-read for metrics (results would otherwise recompute); the

@@ -30,7 +30,7 @@ object Synth {
   final class Rng(seed: Long) {
     private var s = seed
     def nextLong(): Long = { s += 0x9e3779b97f4a7c15L; splitmix64(s) }
-    def nextInt(n: Int): Int = (((nextLong() >>> 1) % n).toInt + n) % n
+    def nextInt(n: Int): Int = ((nextLong() >>> 1) % n).toInt // >>>1 ⇒ non-negative
     def nextDouble(): Double = (nextLong() >>> 11) * 1.1102230246251565e-16
     def pick[T](xs: IndexedSeq[T]): T = xs(nextInt(xs.length))
   }
@@ -86,10 +86,7 @@ object Synth {
           Tables.synthHtmlTable(r)
         case _ => sentence(r, 3 + r.nextInt(12))
       }
-      parts += (if (cat == "Picture")
-        s"""{"bbox": $bbox, "category": "Picture", "text": ""}"""
-      else
-        s"""{"bbox": $bbox, "category": "$cat", "text": "${jsonEscape(text)}"}""")
+      parts += s"""{"bbox": $bbox, "category": "$cat", "text": "${jsonEscape(text)}"}"""
       y += h + 14 + r.nextInt(40)
       i += 1
     }

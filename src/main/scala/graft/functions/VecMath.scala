@@ -22,7 +22,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * `aggregate(zip_with(...))` column form materializes an n-element struct
   * array per pair (measured: the entire runtime of brute-force similarity
   * at 2M pairs). These loops run on `ArrayData` in place, allocating
-  * nothing. */
+  * nothing.
+  *
+  * Null ELEMENTS inside an array contribute 0 to the sum — deliberately the
+  * DuckDB `list_sum` semantics the oracles use (list_sum skips nulls, so a
+  * null product is a 0 contribution), NOT Spark's null-propagating scalar
+  * arithmetic. A wholly-null array input still yields null (nullSafeEval). */
 object VecMath {
 
   /** Dot product of two float-array columns, computed in double. */
@@ -89,6 +94,17 @@ case class VecDot(left: Expression, right: Expression)
 
 case class VecDotConst(child: Expression, weights: Array[Double])
   extends UnaryExpression {
+
+  // case-class equality on Array is reference identity, which would make
+  // two semantically identical expressions unequal — defeating Catalyst
+  // canonicalization/subexpression elimination and producing unstable
+  // explain output (Similarity rebuilds the weight arrays per call)
+  override def equals(other: Any): Boolean = other match {
+    case VecDotConst(c, w) => c == child && java.util.Arrays.equals(w, weights)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(weights)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess

@@ -96,7 +96,10 @@ object FailureCodes {
   def worse(a: String, b: String): String =
     if (severity.getOrElse(b, 9) > severity.getOrElse(a, 9)) b else a
   /** Fatal codes flip `success` to false; TRUNCATED and SCHEMA_VIOLATION are
-    * warn-level (reference keeps partial results: tests/test_accuracy.py:190-199). */
+    * warn-level (reference keeps partial results: tests/test_accuracy.py:190-199).
+    * Codes outside the known set are FATAL — `worse` already ranks them most
+    * severe, and an unknown code displacing a fatal one must never flip the
+    * doc back to success. */
   def isFatal(code: String): Boolean =
-    code == JsonRecoveryFailed || code == BboxRequired || code == EmptyDoc
+    code.nonEmpty && code != Truncated && code != SchemaViolation
 }

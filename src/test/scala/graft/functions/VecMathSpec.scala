@@ -69,6 +69,24 @@ class VecMathSpec extends AnyFunSuite {
       err.getMessage.take(200))
   }
 
+  test("null array ELEMENTS contribute 0 (DuckDB list_sum semantics); equal expressions compare equal") {
+    import spark.implicits._
+    // array<float> with a null element: (1*2) + (null→0) = 2.0, matching
+    // the oracles' list_sum-skips-nulls behavior
+    val df = spark.sql("SELECT array(cast(1.0 as float), cast(null as float)) AS a, " +
+      "array(cast(2.0 as float), cast(3.0 as float)) AS b")
+    assert(df.select(VecMath.vecDot($"a", $"b")).collect()(0).getDouble(0) == 2.0)
+    // VecDotConst equality is value-based despite the Array field — two
+    // independently built weight arrays must canonicalize equal
+    val w1 = Array(1.0, 2.0, 3.0)
+    val w2 = Array(1.0, 2.0, 3.0)
+    val c = org.apache.spark.sql.graft.ColumnBridge.expression(
+      org.apache.spark.sql.functions.col("a"))
+    assert(VecDotConst(c, w1) == VecDotConst(c, w2))
+    assert(VecDotConst(c, w1).hashCode == VecDotConst(c, w2).hashCode)
+    assert(VecDotConst(c, w1) != VecDotConst(c, Array(9.0)))
+  }
+
   test("expressions run inside whole-stage codegen (no fallback in the plan)") {
     import spark.implicits._
     // a parquet round-trip gives a real scan (ConvertToLocalRelation would
