@@ -129,7 +129,7 @@ object Similarity {
     * VecDotConst per center, first-min tie-break (array_position), shared
     * exactly with the oracle's (dist, cid) row_number. */
   def ivfCellCol(emb: Column, centers: Array[Array[Double]]): Column = {
-    val dists = centers.map { c =>
+    val dists = centers.toIndexedSeq.map { c =>
       graft.functions.VecMath.vecDotConst(emb, c.map(-2.0 * _)) +
         lit(c.map(x => x * x).sum)
     }
