@@ -126,6 +126,11 @@ object Bench {
     val tpLo = lo("pages_per_sec")
     val tpHi = hi("pages_per_sec")
     val eff = (tpHi / tpLo) / (nHi.toDouble / nLo)
+    // median-based efficiency: same ratio over median-of-k walls — the
+    // robustness companion to the best-of-k headline (one noisy pass at
+    // either level moves best-of by at most that pass; median by nothing)
+    val effMedian =
+      (hi("pages_per_sec_median") / lo("pages_per_sec_median")) / (nHi.toDouble / nLo)
 
     // ---- phase 2: headline queries on the sf dir ----
     val spark = session(cpus, "graft-bench-queries")
@@ -133,14 +138,16 @@ object Bench {
     // (d1) absorbs all one-time costs — codegen compiler init, first-job
     // scheduler paths, parquet footer reads — and reads ~6s for a 0.5s
     // aggregation. Steady-state per-query numbers are the useful ones.
-    spark.range(1000000L).selectExpr("count(distinct id)").collect()
-    spark.read.parquet(s"$sfDir/documents.parquet")
-      .selectExpr("count(md5(text))").collect()
-    // compile the expression palette the first queries use (higher-order
-    // filters, big CASE chains, semi-join codegen) on a tiny slice —
-    // otherwise whichever query sorts first absorbs ~5-7s of one-time
-    // codegen that misreads as operator cost
-    locally {
+    // warmup failures must not abort the whole bench (a bad sf dir already
+    // marks individual queries -1.0 below; the warmup is best-effort)
+    try {
+      spark.range(1000000L).selectExpr("count(distinct id)").collect()
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .selectExpr("count(md5(text))").collect()
+      // compile the expression palette the first queries use (higher-order
+      // filters, big CASE chains, semi-join codegen) on a tiny slice —
+      // otherwise whichever query sorts first absorbs ~5-7s of one-time
+      // codegen that misreads as operator cost
       val w = spark.read.parquet(s"$sfDir/documents.parquet").limit(256)
         .select(col("doc_id"),
           graft.ops.TextAnalysis.qualityLabelCol(col("text")).as("q"),
@@ -148,6 +155,9 @@ object Bench {
           md5(col("text").cast("binary")).as("h"))
       w.join(w.groupBy("h").agg(min("doc_id").as("doc_id")),
         Seq("doc_id"), "left_semi").count()
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] warmup failed (continuing): ${e.getMessage}")
     }
     // two passes, best-of-2 per query: pass 1 pays each query's one-time
     // Janino/JIT compilation of its generated stages (~6s for the largest
@@ -187,6 +197,9 @@ object Bench {
       s""""docs_per_sec_n$nHi":${f(hi("docs_per_sec"))}""",
       s""""spans_per_sec_n$nHi":${f(hi("spans_per_sec"))}""",
       s""""scaling_efficiency":${f(eff)}""",
+      s""""scaling_efficiency_median":${f(effMedian)}""",
+      s""""median_wall_sec_n$nLo":${f(lo("median_wall_sec"))}""",
+      s""""median_wall_sec_n$nHi":${f(hi("median_wall_sec"))}""",
       s""""bench_docs":${benchDocs}""",
       s""""bench_pages":${hi("pages").toLong}""")
     val qs = (queryTimes.map { case (k, v) => s""""$k":${f(v)}""" } ++ extras)
@@ -246,12 +259,19 @@ object BenchWorker {
     System.err.println(s"DEBUG timed walls: ${timed.map(t => f"${t._1}%.2f").mkString(", ")}")
     // best-of-k: peak sustained throughput, robust to GC/host noise in a
     // shared sandbox (each pass is a full multi-hundred-k-doc job, not a
-    // microbench); both levels together run ~3.5 min, whole bench ~6 min
+    // microbench); both levels together run ~3.5 min, whole bench ~6 min.
+    // The median wall is reported alongside: best-of is the headline (noise
+    // can only slow a pass, never speed it), median shows the efficiency
+    // number is not riding on one lucky pass.
     val best = timed.minBy(_._1)
     val (wall, nDocs, nPages, nSpans) = best
+    val walls = timed.map(_._1).sorted
+    val medianWall = walls(walls.length / 2)
     val totalSec = (System.nanoTime() - tTotal0) / 1e9
-    println(s"BENCH_LEVEL wall_sec=$wall pages=$nPages docs=$nDocs spans=$nSpans " +
+    println(s"BENCH_LEVEL wall_sec=$wall median_wall_sec=$medianWall " +
+      s"pages=$nPages docs=$nDocs spans=$nSpans " +
       s"pages_per_sec=${nPages / wall} docs_per_sec=${nDocs / wall} " +
+      s"pages_per_sec_median=${nPages / medianWall} " +
       s"spans_per_sec=${nSpans / wall} total_sec=$totalSec")
     spark.stop()
   }

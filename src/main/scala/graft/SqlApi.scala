@@ -34,14 +34,21 @@ object SqlApi {
     // extraction kernel: 1 doc → reading-ordered output spans. Errors are
     // data: null or length-mismatched field slices degrade to defaults for
     // the missing fields instead of throwing from inside a task.
+    // offsets is Seq[java.lang.Integer], not Seq[Int]: a null ELEMENT in a
+    // SQL array<int> would make the primitive encoder throw from inside the
+    // task, contradicting the errors-as-data contract — boxed elements let
+    // null offsets degrade to the positional default like null slices do
     spark.udf.register("extract_spans",
       (docId: String, kinds: Seq[String], texts: Seq[String],
-       refs: Seq[String], offsets: Seq[Int]) => {
+       refs: Seq[String], offsets: Seq[java.lang.Integer]) => {
         def at(xs: Seq[String], i: Int): String =
           if (xs != null && i < xs.size && xs(i) != null) xs(i) else ""
         val n = if (kinds == null) 0 else kinds.size
         val spans = (0 until n).map { i =>
-          val off = if (offsets != null && i < offsets.size) offsets(i) else i
+          val off =
+            if (offsets != null && i < offsets.size && offsets(i) != null)
+              offsets(i).intValue
+            else i
           Span(at(kinds, i), at(texts, i), at(refs, i), off)
         }
         Extract.extractDoc(Doc(docId, spans)).spans

@@ -23,7 +23,10 @@ object Verify {
         // a stale dump from a previous run must not be scored as current —
         // a missing directory fails loudly in the driver's compare
         def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles.foreach(rm)
+          // listFiles returns null on I/O/permission errors — guard so one
+          // unreadable dump directory fails one query, not the whole run
+          if (f.isDirectory)
+            Option(f.listFiles).getOrElse(Array.empty[java.io.File]).foreach(rm)
           f.delete(): Unit
         }
         rm(new java.io.File(s"$outDir/$name"))

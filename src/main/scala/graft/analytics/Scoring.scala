@@ -150,8 +150,11 @@ object Scoring {
     val want = golden.toDF().select(col("doc_id"), col("spans").as("want_spans"),
       col("failure_code").as("want_failure"))
     // full outer: a result doc missing from golden (or vice versa) is a
-    // FAIL row, never a silently-shrunk verdict table
-    got.join(broadcast(want), Seq("doc_id"), "full_outer")
+    // FAIL row, never a silently-shrunk verdict table. No broadcast hint:
+    // Spark cannot broadcast either side of a full outer join (the hint is
+    // ignored with a HintErrorLogger warning), and the golden side is a
+    // handful of rows — SMJ is fine here.
+    got.join(want, Seq("doc_id"), "full_outer")
       .withColumn("spans_match",
         coalesce(col("got_spans") === col("want_spans"), lit(false)))
       .withColumn("failure_match",

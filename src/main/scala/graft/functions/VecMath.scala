@@ -27,7 +27,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * Null ELEMENTS inside an array contribute 0 to the sum — deliberately the
   * DuckDB `list_sum` semantics the oracles use (list_sum skips nulls, so a
   * null product is a 0 contribution), NOT Spark's null-propagating scalar
-  * arithmetic. A wholly-null array input still yields null (nullSafeEval). */
+  * arithmetic. The contract is enforced with explicit `isNullAt` checks in
+  * both eval and codegen (not by relying on any particular `ArrayData`
+  * representation zeroing its null slots). A wholly-null array input still
+  * yields null (nullSafeEval). */
 object VecMath {
 
   /** Dot product of two float-array columns, computed in double. */
@@ -68,7 +71,11 @@ case class VecDot(left: Expression, right: Expression)
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i))
+        s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
     s
   }
 
@@ -81,7 +88,9 @@ case class VecDot(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $s += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $s += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  }
          |}
          |${ev.value} = $s;
        """.stripMargin
@@ -119,7 +128,10 @@ case class VecDotConst(child: Expression, weights: Array[Double])
     val n = math.min(x.numElements(), weights.length)
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getFloat(i).toDouble * weights(i); i += 1 }
+    while (i < n) {
+      if (!x.isNullAt(i)) s += x.getFloat(i).toDouble * weights(i)
+      i += 1
+    }
     s
   }
 
@@ -133,7 +145,9 @@ case class VecDotConst(child: Expression, weights: Array[Double])
          |int $n = java.lang.Math.min($a.numElements(), ${weights.length});
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $s += ((double) $a.getFloat($i)) * $w[$i];
+         |  if (!$a.isNullAt($i)) {
+         |    $s += ((double) $a.getFloat($i)) * $w[$i];
+         |  }
          |}
          |${ev.value} = $s;
        """.stripMargin

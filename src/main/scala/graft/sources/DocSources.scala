@@ -65,8 +65,13 @@ object DocSources {
     * Returns the dir. Idempotent: the `_SUCCESS` marker skips rewrites, so
     * re-running a query battery costs one stat() call. */
   def pngFixtureDir(ids: Seq[Long]): String = {
-    val dir = new java.io.File(
-      s"/tmp/graft_png_fixtures_${ids.hashCode.toHexString}_${ids.size}")
+    // content-digest key (not hashCode): a 32-bit hash collision between two
+    // different id sets would silently reuse a stale PNG set and make the
+    // ingest query diverge from its oracle with no error
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(ids.mkString(",").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val dir = new java.io.File(s"/tmp/graft_png_fixtures_${digest}_${ids.size}")
     val marker = new java.io.File(dir, "_SUCCESS")
     if (!marker.exists()) {
       dir.mkdirs()

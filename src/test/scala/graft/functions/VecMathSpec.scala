@@ -76,6 +76,15 @@ class VecMathSpec extends AnyFunSuite {
     val df = spark.sql("SELECT array(cast(1.0 as float), cast(null as float)) AS a, " +
       "array(cast(2.0 as float), cast(3.0 as float)) AS b")
     assert(df.select(VecMath.vecDot($"a", $"b")).collect()(0).getDouble(0) == 2.0)
+    // same contract through the CODEGEN path: a parquet round-trip gives a
+    // containsNull=true UnsafeArrayData with a real null bitmap (the local
+    // relation above may fold through interpreted eval)
+    val dir = java.nio.file.Files.createTempDirectory("graft_vecmath_null").toString
+    df.write.mode("overwrite").parquet(dir)
+    val rt = spark.read.parquet(dir)
+    assert(rt.select(VecMath.vecDot($"a", $"b")).collect()(0).getDouble(0) == 2.0)
+    assert(rt.select(VecMath.vecDotConst($"a", Array(2.0, 5.0)))
+      .collect()(0).getDouble(0) == 2.0, "VecDotConst skips null elements too")
     // VecDotConst equality is value-based despite the Array field — two
     // independently built weight arrays must canonicalize equal
     val w1 = Array(1.0, 2.0, 3.0)
