@@ -272,6 +272,21 @@ object SparkEntry {
       Similarity.ivfAnnTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
         .orderBy("query_id", "rank")
     }),
+    "s4_ivf_multiprobe" -> ((s, d) => {
+      // the recall knob: each query probes its 2 nearest inverted lists —
+      // boundary vectors recover neighbors that quantized across the
+      // Voronoi edge (the oracle reproduces the probe set as rn <= 2 over
+      // the same (dist, cid) ordering)
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfAnnTopK(emb, emb.filter(col("vec_id") < 8), k = 5, nprobe = 2)
+        .orderBy("query_id", "rank")
+    }),
+    "s5_lsh_multiprobe" -> ((s, d) => {
+      // multi-probe LSH: base bucket + the lowest-|margin| single-bit flip
+      val emb = t(s, d, "embeddings")
+      Similarity.lshAnnTopK(emb, emb.filter(col("vec_id") < 8), k = 5, nprobe = 2)
+        .orderBy("query_id", "rank")
+    }),
     // ---- multimodal ----
     "m1_media_meta" -> ((s, d) => {
       Multimodal.decodeStub(
@@ -849,6 +864,79 @@ object SparkEntry {
          |     THEN (1 << p) ELSE 0 END)::INT AS bucket
          |  FROM embeddings CROSS JOIN planes GROUP BY vec_id, embedding),
          |q AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket FROM eb WHERE vec_id < 8),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS c_emb, bucket FROM eb),
+         |scored AS (SELECT query_id, c.bucket AS bucket, neighbor_id,
+         |   list_sum(list_transform(generate_series(1, len(q_emb)),
+         |     i -> q_emb[i]::DOUBLE * c_emb[i]::DOUBLE))
+         |   / (sqrt(list_sum(list_transform(generate_series(1, len(q_emb)),
+         |       i -> q_emb[i]::DOUBLE * q_emb[i]::DOUBLE)))
+         |    * sqrt(list_sum(list_transform(generate_series(1, len(c_emb)),
+         |       i -> c_emb[i]::DOUBLE * c_emb[i]::DOUBLE)))) AS cos
+         |  FROM c JOIN q ON c.bucket = q.bucket WHERE neighbor_id <> query_id)
+         |SELECT query_id, bucket, rank, neighbor_id FROM (
+         | SELECT query_id, bucket, neighbor_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         | FROM scored)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
+    "s4_ivf_multiprobe" -> {
+      // s3's cell assignment, but the query side keeps its 2 nearest cells
+      // (rn <= 2 over the same (dist, cid) ordering = Spark's struct sort);
+      // corpus vectors still live in exactly one inverted list (rn = 1)
+      val centers = Similarity.ivfCenters(16, 64, graft.corpus.Synth.DefaultSeed)
+      val centerRows = centers.zipWithIndex.map { case (c, i) =>
+        val w = c.map(-2.0 * _)
+        val c2 = c.map(x => x * x).sum
+        s"(${i + 1}, $c2, ${planeSql(w)})"
+      }.mkString(",\n   ")
+      s"""WITH centers(cid, c2, w) AS (VALUES
+         |   $centerRows),
+         |d AS (SELECT vec_id, embedding, cid,
+         |   list_sum(list_transform(generate_series(1, len(embedding)),
+         |     i -> embedding[i]::DOUBLE * w[i])) + c2 AS dist
+         |  FROM embeddings CROSS JOIN centers),
+         |r AS (SELECT vec_id, embedding, cid,
+         |   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS c_emb, cid AS cell
+         |  FROM r WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS q_emb, cid AS cell
+         |  FROM r WHERE vec_id < 8 AND rn <= 2),
+         |scored AS (SELECT query_id, c.cell AS cell, neighbor_id,
+         |   list_sum(list_transform(generate_series(1, len(q_emb)),
+         |     i -> q_emb[i]::DOUBLE * c_emb[i]::DOUBLE))
+         |   / (sqrt(list_sum(list_transform(generate_series(1, len(q_emb)),
+         |       i -> q_emb[i]::DOUBLE * q_emb[i]::DOUBLE)))
+         |    * sqrt(list_sum(list_transform(generate_series(1, len(c_emb)),
+         |       i -> c_emb[i]::DOUBLE * c_emb[i]::DOUBLE)))) AS cos
+         |  FROM c JOIN q ON c.cell = q.cell WHERE neighbor_id <> query_id)
+         |SELECT query_id, cell, rank, neighbor_id FROM (
+         | SELECT query_id, cell, neighbor_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         | FROM scored)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
+    "s5_lsh_multiprobe" -> {
+      // s2's bucketing, plus per-query the bucket with the lowest-|margin|
+      // sign bit flipped (row_number over (abs(dot), p) = Spark's struct
+      // sort on (m, mask) since 1<<p is monotone in p)
+      val planes = Similarity.hyperplanes(8, 64, graft.corpus.Synth.DefaultSeed)
+      val planeRows = planes.zipWithIndex
+        .map { case (p, i) => s"($i, ${planeSql(p)})" }.mkString(",\n   ")
+      s"""WITH planes(p, w) AS (VALUES
+         |   $planeRows),
+         |pd AS (SELECT vec_id, embedding, p,
+         |   list_sum(list_transform(generate_series(1, len(embedding)),
+         |     i -> embedding[i]::DOUBLE * w[i])) AS dot
+         |  FROM embeddings CROSS JOIN planes),
+         |eb AS (SELECT vec_id, embedding,
+         |   sum(CASE WHEN dot >= 0 THEN (1 << p) ELSE 0 END)::INT AS bucket
+         |  FROM pd GROUP BY vec_id, embedding),
+         |m AS (SELECT vec_id, p AS flip_p,
+         |   row_number() OVER (PARTITION BY vec_id ORDER BY abs(dot), p) AS rn FROM pd),
+         |q AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket FROM eb WHERE vec_id < 8
+         |  UNION ALL
+         |  SELECT eb.vec_id, eb.embedding, xor(eb.bucket, (1 << m.flip_p))::INT
+         |  FROM eb JOIN m ON eb.vec_id = m.vec_id AND m.rn = 1 WHERE eb.vec_id < 8),
          |c AS (SELECT vec_id AS neighbor_id, embedding AS c_emb, bucket FROM eb),
          |scored AS (SELECT query_id, c.bucket AS bucket, neighbor_id,
          |   list_sum(list_transform(generate_series(1, len(q_emb)),

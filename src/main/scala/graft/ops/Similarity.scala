@@ -137,11 +137,35 @@ object Similarity {
     array_position(arr, array_min(arr)).cast("int")
   }
 
-  /** IVF ANN top-k, nprobe=1: corpus partitioned into `nCenters` inverted
-    * lists by nearest center; each query scans only its own list (equi-join
-    * on cell). The second classic ANN family next to sign-projection LSH —
-    * at scale the inverted lists are the partition/bucket layout and
-    * `nCenters` grows with corpus size (cells stay bounded).
+  /** The `nprobe` nearest cell ids (1-based), ordered nearest-first: the
+    * per-center distance structs sort by (dist, cell) — the same first-min
+    * tie-break as [[ivfCellCol]], whose result is always element 1. */
+  def ivfProbeCellsCol(emb: Column, centers: Array[Array[Double]],
+                       nprobe: Int): Column = {
+    require(nprobe >= 1 && nprobe <= centers.length,
+      s"nprobe must be in [1, ${centers.length}], got $nprobe")
+    val dists = centers.toIndexedSeq.zipWithIndex.map { case (c, i) =>
+      struct(
+        (graft.functions.VecMath.vecDotConst(emb, c.map(-2.0 * _)) +
+          lit(c.map(x => x * x).sum)).as("dist"),
+        lit(i + 1).as("cell"))
+    }
+    transform(slice(array_sort(array(dists: _*)), 1, nprobe), x => x("cell"))
+  }
+
+  /** IVF ANN top-k: corpus partitioned into `nCenters` inverted lists by
+    * nearest center; each query scans only its `nprobe` nearest lists
+    * (equi-join on cell after exploding the probe set). The second classic
+    * ANN family next to sign-projection LSH — at scale the inverted lists
+    * are the partition/bucket layout and `nCenters` grows with corpus size
+    * (cells stay bounded).
+    *
+    * `nprobe` is the recall knob: with nprobe=1 a query vector near a
+    * Voronoi boundary loses true neighbors that quantized into the adjacent
+    * cell; probing the p nearest cells recovers them at p× the in-list scan
+    * cost — still nprobe/nCenters of the corpus, never a full scan. A
+    * corpus vector lives in exactly one list, so the probe union needs no
+    * dedup before ranking.
     *
     * `dim` MUST equal the embedding width: center dots use min-length
     * prefix semantics, so a wider corpus would silently be cell-assigned
@@ -149,7 +173,8 @@ object Similarity {
   def ivfAnnTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                  nCenters: Int = 16, dim: Int = 64,
                  seed: Long = Synth.DefaultSeed,
-                 centersOverride: Option[Array[Array[Double]]] = None): DataFrame = {
+                 centersOverride: Option[Array[Array[Double]]] = None,
+                 nprobe: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val centers = centersOverride.getOrElse(ivfCenters(nCenters, dim, seed))
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
@@ -157,7 +182,7 @@ object Similarity {
       ivfCellCol(col("embedding"), centers).as("cell"))
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
       normCol(col("embedding")).as("q_norm"),
-      ivfCellCol(col("embedding"), centers).as("cell"))
+      explode(ivfProbeCellsCol(col("embedding"), centers, nprobe)).as("cell"))
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos",
@@ -169,15 +194,47 @@ object Similarity {
       .select("query_id", "cell", "rank", "neighbor_id")
   }
 
+  /** Multi-probe bucket set, nearest-first: element 1 is the base
+    * [[lshBucket]] signature; elements 2..nprobe flip the sign bits with
+    * the smallest |margin| (the planes the vector sits closest to — the
+    * classic multi-probe LSH perturbation order). Flipping the
+    * least-confident bit reaches the bucket a boundary vector's true
+    * neighbors most likely quantized into. Margin ties break on plane
+    * index (the struct's mask field is monotone in it). */
+  def lshProbeBucketsCol(emb: Column, planes: Array[Array[Double]],
+                         nprobe: Int): Column = {
+    require(nprobe >= 1 && nprobe <= planes.length + 1,
+      s"nprobe must be in [1, ${planes.length + 1}], got $nprobe")
+    val dots = planes.toIndexedSeq.zipWithIndex.map { case (p, i) =>
+      (VecMath.vecDotConst(emb, p), i)
+    }
+    val base = dots.map { case (d, i) =>
+      when(d >= 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+    if (nprobe == 1) array(base)
+    else {
+      val margins = dots.map { case (d, i) =>
+        struct(abs(d).as("m"), lit(1 << i).as("mask"))
+      }
+      val flips = slice(array_sort(array(margins: _*)), 1, nprobe - 1)
+      concat(array(base), transform(flips, f => base.bitwiseXOR(f("mask"))))
+    }
+  }
+
   /** LSH-bucketed ANN: corpus and queries hash to sign-projection buckets;
-    * each query searches only its bucket (equi-join on bucket key). With
-    * `nPlanes` = 8 → 256 buckets ⇒ ~256× less work than brute force, at
-    * recall traded by bucket granularity. `dim` MUST equal the embedding
-    * width (plane dots use min-length prefix semantics — a wider corpus
-    * would silently bucket on the first `dim` components). */
+    * each query searches only its `nprobe` buckets (equi-join on bucket key
+    * after exploding the probe set — base bucket plus the lowest-|margin|
+    * single-bit flips, see [[lshProbeBucketsCol]]). With `nPlanes` = 8 →
+    * 256 buckets ⇒ ~256/nprobe× less work than brute force, at recall
+    * traded by bucket granularity; `nprobe` is the recall knob for boundary
+    * vectors. Probe buckets are distinct by construction (distinct XOR
+    * masks), so the union needs no dedup before ranking. `dim` MUST equal
+    * the embedding width (plane dots use min-length prefix semantics — a
+    * wider corpus would silently bucket on the first `dim` components). */
   def lshAnnTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                  nPlanes: Int = 8, dim: Int = 64,
-                 seed: Long = Synth.DefaultSeed): DataFrame = {
+                 seed: Long = Synth.DefaultSeed,
+                 nprobe: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val planes = hyperplanes(nPlanes, dim, seed)
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
@@ -185,7 +242,7 @@ object Similarity {
       lshBucket(col("embedding"), planes).as("bucket"))
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
       normCol(col("embedding")).as("q_norm"),
-      lshBucket(col("embedding"), planes).as("bucket"))
+      explode(lshProbeBucketsCol(col("embedding"), planes, nprobe)).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos",

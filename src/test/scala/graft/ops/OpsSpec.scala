@@ -194,6 +194,59 @@ class OpsSpec extends AnyFunSuite {
     assert(rand.forall(r => r.getAs[Long]("query_id") != r.getAs[Long]("neighbor_id")))
   }
 
+  test("multi-probe ANN: nprobe=2 recall strictly above nprobe=1, subset of brute, probe order sane") {
+    val queries = emb.filter(col("vec_id") < 32)
+    val truth = Similarity.cosineTopK(emb, queries, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    def recall(df: org.apache.spark.sql.DataFrame): (Double, Set[(Long, Long)]) = {
+      val got = df.collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+      (truth.count(got.contains).toDouble / truth.size, got)
+    }
+    // IVF: probing the 2 nearest cells recovers boundary-vector neighbors
+    val (ivf1, _) = recall(Similarity.ivfAnnTopK(emb, queries, k = 5, nprobe = 1))
+    val (ivf2, _) = recall(Similarity.ivfAnnTopK(emb, queries, k = 5, nprobe = 2))
+    assert(ivf2 > ivf1, s"IVF nprobe=2 recall $ivf2 must beat nprobe=1 $ivf1")
+    // LSH: planted twins at cosine ≈ 0.9995 (the near-dup regime the
+    // operator targets — on uniform random vectors the true top-5 are
+    // ~orthogonal and bucket recall is noise at any nprobe). A twin that
+    // straddles one hyperplane differs in exactly that sign bit, and it is
+    // the lowest-|margin| bit — the bucket nprobe=2 probes first.
+    import SparkTestSessionImport.spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val planted = (0 until 200).flatMap { i =>
+      val v = Array.fill(64)(rnd.nextGaussian().toFloat)
+      val dup = v.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+      Seq((2L * i, v.toSeq), (2L * i + 1, dup.toSeq))
+    }.toDF("vec_id", "embedding")
+    val evens = planted.filter(col("vec_id") % 2 === 0)
+    def twinRecall(nprobe: Int): Double = {
+      val got = Similarity.lshAnnTopK(planted, evens, k = 5, nprobe = nprobe)
+        .collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+      (0 until 200).count(i => got.contains((2L * i, 2L * i + 1))) / 200.0
+    }
+    val (lsh1, lsh2) = (twinRecall(1), twinRecall(2))
+    assert(lsh2 > lsh1, s"LSH nprobe=2 twin recall $lsh2 must beat nprobe=1 $lsh1")
+    assert(lsh2 >= 0.95, s"nprobe=2 should recover nearly all straddling twins: $lsh2")
+    // probe-set structure: element 1 of the probe set IS the nprobe=1
+    // assignment (first-min tie-break shared with ivfCellCol/lshBucket),
+    // and probe elements are distinct
+    val centers = Similarity.ivfCenters(16, 64, graft.corpus.Synth.DefaultSeed)
+    val planes = Similarity.hyperplanes(8, 64, graft.corpus.Synth.DefaultSeed)
+    emb.limit(100).select(
+      Similarity.ivfProbeCellsCol(col("embedding"), centers, 3).as("cells"),
+      Similarity.ivfCellCol(col("embedding"), centers).as("cell1"),
+      Similarity.lshProbeBucketsCol(col("embedding"), planes, 3).as("buckets"),
+      Similarity.lshBucket(col("embedding"), planes).as("bucket1"))
+      .collect().foreach { r =>
+        val cells = r.getSeq[Int](0)
+        assert(cells.head == r.getInt(1) && cells.distinct.size == 3, s"ivf probes $cells")
+        val buckets = r.getSeq[Int](2)
+        assert(buckets.head == r.getInt(3) && buckets.distinct.size == 3, s"lsh probes $buckets")
+      }
+  }
+
   test("binaryFile PNG ingestion round-trip decodes the rendered dimensions") {
     val dir = graft.sources.DocSources.pngFixtureDir(0L until 8L)
     val rows = graft.sources.DocSources
