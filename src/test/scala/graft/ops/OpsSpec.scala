@@ -171,6 +171,18 @@ class OpsSpec extends AnyFunSuite {
       20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("duplicateClusters pointer jumping: a 64-edge path converges in <= 12 rounds") {
+    import SparkTestSessionImport.spark.implicits._
+    // a path graph is the worst case for plain min-propagation (needs
+    // diameter=64 rounds); label doubling must settle it in O(log d) — the
+    // maxIters=12 bound makes the require() the assertion
+    val pairs = (0L until 64L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.duplicateClusters(pairs, maxIters = 12).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == 65)
+    assert(got.forall(_._2 == 0L), "every node labels to the path minimum")
+  }
+
   test("IVF ANN with trained k-means centers finds planted twins as top-1") {
     import SparkTestSessionImport.spark.implicits._
     val rnd = new scala.util.Random(21)

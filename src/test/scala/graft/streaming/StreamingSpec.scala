@@ -79,6 +79,43 @@ class StreamingSpec extends AnyFunSuite {
       "open window (watermark not past its end) must not be emitted in append mode")
   }
 
+  test("incremental MinHash dedup over two drops ≡ batch LSH dedup over the union") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("graft-incdedup").toString
+    val in = s"$base/in"; val store = s"$base/store"
+    val pairs = s"$base/pairs"; val cp = s"$base/cp"
+
+    // two drops (nightly shape); near-dup twins are planted across the
+    // corpus so some pairs span the drops and some fall inside one
+    val drop1 = docs.filter(col("doc_id") % 2 === 0)
+    val drop2 = docs.filter(col("doc_id") % 2 === 1)
+    drop1.write.mode("append").parquet(in)
+    graft.streaming.IncrementalDedup.run(spark, in, store, pairs, cp).awaitTermination()
+    val afterDrop1 = spark.read.parquet(store)
+    assert(afterDrop1.select("batch").distinct().count() == 1,
+      "first run commits exactly one store partition")
+    drop2.write.mode("append").parquet(in)
+    graft.streaming.IncrementalDedup.run(spark, in, store, pairs, cp).awaitTermination()
+
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_a", "doc_b", "est_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val incremental = canon(spark.read.parquet(pairs))
+    val batch = canon(graft.ops.Dedup.lshNearDupPairs(
+      graft.ops.Dedup.minhashSignatures(docs)))
+    assert(batch.nonEmpty, "testdata plants near-dups; the batch baseline must find them")
+    assert(incremental == batch,
+      s"incremental (${incremental.size}) must equal batch (${batch.size})")
+    // the second run hashed ONLY drop2: the store grew by exactly its docs
+    val store2 = spark.read.parquet(store)
+    assert(store2.select("batch").distinct().count() == 2)
+    assert(store2.count() ==
+      graft.ops.Dedup.minhashSignatures(docs).count(),
+      "store holds one signature row per hashable doc, no re-hashing")
+  }
+
   test("mapGroupsWithState running totals accumulate per source") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
