@@ -1,0 +1,73 @@
+package graft.pipeline
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.SparkEntry
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cross-implementation verification of the flagship extraction path.
+  *
+  * The x-series queries are kernel-bound (XY-cut, boilerplate strip,
+  * tolerant layout parse) and have no DuckDB twin — so x1/x2 are pinned by
+  * a SECOND IMPLEMENTATION instead: `tools/recompute_corpus.py` derives the
+  * same interleaved corpus from documents.parquet and re-runs the whole
+  * extraction semantics in pure Python, writing the expected span dump
+  * (text as md5) and kind histogram as test resources. The Spark engine
+  * must reproduce them bit-for-bit over BOTH driver testdata scales — the
+  * same golden-comparison discipline as the 6 transcribed reference
+  * fixtures, extended from fixtures to real corpus input (reference
+  * analogue: benchmark/extraction_utils.py:138-233).
+  */
+class CrossImplSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val mapper = new ObjectMapper()
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def expected(tag: String) = {
+    val in = getClass.getResourceAsStream(s"/graft/corpus_expected/x_expected_$tag.json")
+    assert(in != null, s"missing recompute resource for $tag — run tools/recompute_corpus.py")
+    val root = try mapper.readTree(in) finally in.close()
+    val hist = {
+      val it = root.get("histogram").fields()
+      val b = Map.newBuilder[String, Long]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asLong() }
+      b.result()
+    }
+    val spans = {
+      val arr = root.get("spans")
+      (0 until arr.size()).map { i =>
+        val r = arr.get(i)
+        (r.get(0).asText(), r.get(1).asInt(), r.get(2).asText(),
+          r.get(3).asText(), r.get(4).asText())
+      }
+    }
+    (hist, spans)
+  }
+
+  for ((sfDir, tag) <- Seq("/root/testdata/sf0.001" -> "sf0001",
+                           "/root/testdata/sf0.01" -> "sf001")) {
+    test(s"x1/x2 over $sfDir match the independent Python recompute span-for-span") {
+      val (wantHist, wantSpans) = expected(tag)
+
+      val gotSpans = SparkEntry.queries("x1_extract_spans")(spark, sfDir)
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getString(2),
+          r.getString(3), md5hex(r.getString(4))))
+        .toSeq
+      assert(gotSpans.size == wantSpans.size,
+        s"span count: spark=${gotSpans.size} python=${wantSpans.size}")
+      // both sides ordered by (doc_id, offset); compare positionally and
+      // report the first divergence precisely
+      gotSpans.zip(wantSpans).zipWithIndex.foreach { case ((g, w), i) =>
+        assert(g == w, s"first divergence at row $i: spark=$g python=$w")
+      }
+
+      val gotHist = SparkEntry.queries("x2_kind_histogram")(spark, sfDir)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(gotHist == wantHist)
+    }
+  }
+}
