@@ -30,6 +30,14 @@ object Bench {
         if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-spark"
         else System.getProperty("java.io.tmpdir"))
       .config("spark.sql.shuffle.partitions", math.max(cpus, 32).toString)
+      // shuffle bytes ride the one shared DRAM bus on this box (tmpfs local
+      // dirs): zstd halves the shuffle volume vs lz4 for a little extra CPU
+      // — CPU is the resource that scales with cores, the bus is not, so
+      // the trade directly improves multi-core scaling; bigger file buffers
+      // cut syscall/page-fault churn on the same path
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_CODEC", "zstd"))
+      .config("spark.shuffle.file.buffer", "256k")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.cleaner.periodicGC.interval", "20s")
@@ -52,43 +60,66 @@ object Bench {
     "java.base/sun.security.action", "java.base/sun.util.calendar")
     .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
-  /** Spawn one scaling level in a child JVM; returns its one-line JSON.
+  /** One interactive scaling-level worker: a child JVM hard-pinned to
+    * exactly `level` host cores (`taskset -c from-(from+level-1)`) that
+    * runs one full extraction pass per "pass" command on stdin.
     *
-    * The JVM is hard-pinned to exactly `level` host cores with
-    * `taskset -c 0-(level-1)` when available. `-XX:ActiveProcessorCount`
-    * alone only *sizes* thread pools — it does not stop the "2-core" JVM's
-    * GC/JIT/OS threads from borrowing the 30 idle host cores, which
-    * inflates low-level throughput by ~8% (measured) and understates the
-    * scaling ratio. Pinning makes each level a faithful N-core machine. */
-  private def runLevel(level: Int, corpus: String, parts: Int,
-                       fusedArg: Long): Map[String, Double] = {
-    val java = s"${System.getProperty("java.home")}/bin/java"
+    * Pinning: `-XX:ActiveProcessorCount` alone only *sizes* thread pools —
+    * it does not stop the "2-core" JVM's GC/JIT/OS threads from borrowing
+    * the 30 idle host cores, which inflates low-level throughput ~8%
+    * (measured) and understates the scaling ratio. Pinning makes each
+    * level a faithful N-core machine. The two levels get DISJOINT core
+    * sets when the box is big enough, so the momentarily-idle JVM cannot
+    * perturb the measuring one. */
+  private final class LevelWorker(level: Int, pinFrom: Int, corpus: String,
+                                  parts: Int, fusedArg: Long) {
+    private val javaBin = s"${System.getProperty("java.home")}/bin/java"
     // resolve taskset from PATH, not a hardcoded location — silently
     // unpinned levels would quietly inflate the low-level throughput ~8%
-    val tasksetBin = (sys.env.getOrElse("PATH", "").split(':').toSeq :+ "/usr/bin")
+    private val tasksetBin = (sys.env.getOrElse("PATH", "").split(':').toSeq :+ "/usr/bin")
       .map(dir => new _root_.java.io.File(dir, "taskset"))
       .find(_.canExecute).map(_.getAbsolutePath)
     if (tasksetBin.isEmpty)
       System.err.println("[bench] WARNING: taskset not found — levels run " +
         "UNPINNED; scaling efficiency will be overstated on idle hosts")
-    val taskset = tasksetBin.toSeq.flatMap(t => Seq(t, "-c", s"0-${level - 1}"))
-    val cmd = taskset ++ Seq(java, s"-XX:ActiveProcessorCount=$level",
+    private val taskset = tasksetBin.toSeq.flatMap(t =>
+      Seq(t, "-c", s"$pinFrom-${pinFrom + level - 1}"))
+    private val cmd = taskset ++ Seq(javaBin, s"-XX:ActiveProcessorCount=$level",
       s"-Xmx${sys.env.getOrElse("SPARK_GRAFT_WORKER_MEM", "48g")}",
       "-XX:G1HeapRegionSize=32m", // monster docs allocate multi-MB arrays;
       // bigger regions keep them out of the humongous-fragmentation path
       "-Dspark.ui.enabled=false") ++ addOpens ++ Seq(
       "-cp", System.getProperty("java.class.path"),
       "graft.BenchWorker", level.toString, corpus, parts.toString, fusedArg.toString)
-    val pb = new ProcessBuilder(cmd: _*)
+    private val pb = new ProcessBuilder(cmd: _*)
     pb.redirectError(ProcessBuilder.Redirect.INHERIT)
-    val proc = pb.start()
-    val out = new String(proc.getInputStream.readAllBytes())
-    val code = proc.waitFor()
-    val line = out.linesIterator.filter(_.startsWith("BENCH_LEVEL ")).toSeq.lastOption
-    require(code == 0 && line.isDefined, s"level $level failed (exit $code)")
-    // "BENCH_LEVEL k=v k=v ..."
-    line.get.stripPrefix("BENCH_LEVEL ").split("\\s+")
-      .map { kv => val Array(k, v) = kv.split("=", 2); k -> v.toDouble }.toMap
+    private val proc = pb.start()
+    private val in = new java.io.BufferedReader(
+      new java.io.InputStreamReader(proc.getInputStream))
+    private val out = new java.io.PrintWriter(proc.getOutputStream, true)
+
+    private def await(prefix: String): String = {
+      var line = in.readLine()
+      while (line != null && !line.startsWith(prefix)) line = in.readLine()
+      require(line != null, s"level $level worker died (wanted $prefix)")
+      line
+    }
+    await("READY")
+
+    def warmup(): Unit = { out.println("warmup"); await("OK"): Unit }
+
+    /** One timed pass: (wall_sec, pages, docs, spans). */
+    def pass(): (Double, Long, Long, Long) = {
+      out.println("pass")
+      val kv = await("PASS ").stripPrefix("PASS ").split("\\s+")
+        .map { s => val Array(k, v) = s.split("=", 2); k -> v }.toMap
+      (kv("wall").toDouble, kv("pages").toLong, kv("docs").toLong, kv("spans").toLong)
+    }
+
+    def quit(): Unit = {
+      out.println("quit")
+      proc.waitFor()
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -105,7 +136,11 @@ object Bench {
     // task granularity: nHi*8 tasks (8 waves at the high level) — big
     // enough tasks that the single-threaded DAGScheduler dispatch loop
     // stays off the critical path (512 micro-tasks cost ~1-2s of pure
-    // driver time), small enough that stragglers level out
+    // driver time), small enough that stragglers level out. Measured A/B:
+    // 128 parts leaves the high level's wall unchanged (7.26 -> 7.21 s) but
+    // slows the LOW level 17% on pure per-task overhead — which would
+    // inflate the efficiency ratio for free; the throughput-optimal config
+    // is the honest one, so 64 stays.
     val parts = sys.env.getOrElse("SPARK_GRAFT_BENCH_PARTS", (nHi * 8).toString).toInt
 
     // materialize the corpus once (both levels read identical bytes);
@@ -121,16 +156,57 @@ object Bench {
     }
 
     val fusedArg = if (fused) benchDocs else 0L
-    val lo = runLevel(nLo, corpus, parts, fusedArg)
-    val hi = runLevel(nHi, corpus, parts, fusedArg)
-    val tpLo = lo("pages_per_sec")
-    val tpHi = hi("pages_per_sec")
-    val eff = (tpHi / tpLo) / (nHi.toDouble / nLo)
-    // median-based efficiency: same ratio over median-of-k walls — the
-    // robustness companion to the best-of-k headline (one noisy pass at
-    // either level moves best-of by at most that pass; median by nothing)
-    val effMedian =
-      (hi("pages_per_sec_median") / lo("pages_per_sec_median")) / (nHi.toDouble / nLo)
+    val tScale0 = System.nanoTime()
+
+    // ---- phase 1: scaling, measured as INTERLEAVED PASS-PAIRS ----
+    // Running all low-level passes then all high-level passes makes the
+    // efficiency ratio hostage to hypervisor noisy-neighbor windows that
+    // last minutes: the two levels sample different environments and the
+    // ratio of their bests is meaningless when one level's whole window was
+    // slow (observed: adjacent identical passes at 11s and 81s). Instead
+    // both pinned worker JVMs stay alive (disjoint core sets when the box
+    // allows, so the idle one cannot perturb the measuring one) and passes
+    // alternate lo,hi,lo,hi,... — each adjacent pair samples the same noise
+    // environment, so slow drift cancels in the per-pair ratio. Headline
+    // efficiency = MEDIAN of per-pair efficiencies (robust both ways: a
+    // window straddling a pair boundary can bias one pair, not the median);
+    // best/worst pairs and per-level best walls are reported alongside.
+    val pinHi = if (nLo + nHi <= Runtime.getRuntime.availableProcessors()) nLo else 0
+    val loW = new LevelWorker(nLo, 0, corpus, parts, fusedArg)
+    val hiW = new LevelWorker(nHi, pinHi, corpus, parts, fusedArg)
+    // 7 pairs: the median of 7 tolerates 3 noise-hit pairs; measured pair
+    // spread on this sandbox is wide (hypervisor neighbors), so the extra
+    // two pairs buy real stability for ~70s of wall
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "7").toInt
+    (1 to 2).foreach { _ => loW.warmup(); hiW.warmup() } // C2 compilation
+    val pairs = (1 to passes).map { i =>
+      val lo = loW.pass()
+      val hi = hiW.pass()
+      System.err.println(f"[bench] pair $i: lo=${lo._1}%.2fs hi=${hi._1}%.2fs " +
+        f"eff=${(lo._1 / hi._1) / (nHi.toDouble / nLo)}%.4f")
+      (lo, hi)
+    }
+    loW.quit(); hiW.quit()
+
+    val (nPages, nDocs, nSpans) = (pairs.head._1._2, pairs.head._1._3, pairs.head._1._4)
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
+    // same page count both levels ⇒ efficiency = wall ratio / core ratio.
+    // Headline = ratio of per-level MINIMUM walls: hypervisor noise is
+    // additive and non-negative, so the min over k interleaved passes is a
+    // consistent estimator of each level's noise-free wall (and both minima
+    // sample the same overall window thanks to the pairing). Per-pair
+    // medians are emitted for transparency but are systematically biased
+    // DOWN by short noise bubbles — a +2 s bubble costs a 7 s pass 28% but
+    // a 26 s pass only 8%, so the pair ratio degrades whenever the high
+    // level is hit (measured: pair efficiencies 0.31-0.89 in one run whose
+    // clean passes agree at 0.88).
+    val effPairs = pairs.map { case (lo, hi) => (lo._1 / hi._1) / (nHi.toDouble / nLo) }
+    val wallLo = pairs.map(_._1._1).min
+    val wallHi = pairs.map(_._2._1).min
+    val eff = (wallLo / wallHi) / (nHi.toDouble / nLo)
+    val tpLo = nPages / wallLo
+    val tpHi = nPages / wallHi
+    val scaleSec = (System.nanoTime() - tScale0) / 1e9
 
     // ---- phase 2: headline queries on the sf dir ----
     val spark = session(cpus, "graft-bench-queries")
@@ -189,27 +265,35 @@ object Bench {
 
     def f(d: Double) = "%.4f".format(d)
     val extras = Seq(
-      s""""extract_wall_sec_n$nLo":${f(lo("wall_sec"))}""",
-      s""""extract_wall_sec_n$nHi":${f(hi("wall_sec"))}""",
+      s""""extract_wall_sec_n$nLo":${f(wallLo)}""",
+      s""""extract_wall_sec_n$nHi":${f(wallHi)}""",
       s""""pages_per_sec_n$nLo":${f(tpLo)}""",
       s""""pages_per_sec_n$nHi":${f(tpHi)}""",
-      s""""docs_per_sec_n$nLo":${f(lo("docs_per_sec"))}""",
-      s""""docs_per_sec_n$nHi":${f(hi("docs_per_sec"))}""",
-      s""""spans_per_sec_n$nHi":${f(hi("spans_per_sec"))}""",
+      s""""docs_per_sec_n$nLo":${f(nDocs / wallLo)}""",
+      s""""docs_per_sec_n$nHi":${f(nDocs / wallHi)}""",
+      s""""spans_per_sec_n$nHi":${f(nSpans / wallHi)}""",
       s""""scaling_efficiency":${f(eff)}""",
-      s""""scaling_efficiency_median":${f(effMedian)}""",
-      s""""median_wall_sec_n$nLo":${f(lo("median_wall_sec"))}""",
-      s""""median_wall_sec_n$nHi":${f(hi("median_wall_sec"))}""",
+      s""""scaling_efficiency_median_pair":${f(median(effPairs))}""",
+      s""""scaling_efficiency_best_pair":${f(effPairs.max)}""",
+      s""""scaling_efficiency_worst_pair":${f(effPairs.min)}""",
+      s""""scaling_pairs":${effPairs.length}""",
+      s""""median_wall_sec_n$nLo":${f(median(pairs.map(_._1._1)))}""",
+      s""""median_wall_sec_n$nHi":${f(median(pairs.map(_._2._1)))}""",
       s""""bench_docs":${benchDocs}""",
-      s""""bench_pages":${hi("pages").toLong}""")
+      s""""bench_pages":${nPages}""")
     val qs = (queryTimes.map { case (k, v) => s""""$k":${f(v)}""" } ++ extras)
       .mkString("{", ",", "}")
-    val total = queryWall + lo("total_sec") + hi("total_sec")
+    val total = queryWall + scaleSec
     println(s"""{"metric":"pages_per_sec@N=$nHi","value":${f(tpHi)},"unit":"pages/sec","total_sec":${f(total)},"queries":$qs,"sf":"$sfDir"}""")
   }
 }
 
-/** Child-JVM worker: one scaling level, warmups then best-of-k timing. */
+/** Child-JVM worker: one pinned scaling level, driven over stdin by
+  * [[Bench.LevelWorker]]. Commands: `warmup` (untimed pass → "OK"),
+  * `pass` (timed pass → "PASS wall=.. pages=.. docs=.. spans=.."),
+  * `quit`. Each pass rebuilds the Dataset from scratch — re-collecting a
+  * cached DataFrame would let AQE reuse the already-materialized shuffle
+  * stages and silently skip the generate+shuffle work being measured. */
 object BenchWorker {
   def main(args: Array[String]): Unit = {
     val Array(levelS, corpus, partsS, fusedS) = args
@@ -217,12 +301,12 @@ object BenchWorker {
     val parts = partsS.toInt
     val fusedDocs = Option(fusedS.toLong).filter(_ > 0)
     val spark = Bench.session(level, s"graft-bench-l$level")
-    import spark.implicits._
 
     def onePass(): (Double, Long, Long, Long) = {
       val docs = fusedDocs match {
         case Some(n) => ExtractionPipeline.synthDocs(spark, n, parallelism = parts)
-        case None    => spark.read.parquet(corpus).as[graft.model.Doc]
+        case None    => spark.read.parquet(corpus).as[graft.model.Doc](
+          org.apache.spark.sql.Encoders.product[graft.model.Doc])
       }
       val t0 = System.nanoTime()
       val row = ExtractionPipeline.extract(docs,
@@ -231,48 +315,54 @@ object BenchWorker {
         .collect()(0)
       ((System.nanoTime() - t0) / 1e9, row.getLong(0), row.getLong(1), row.getLong(2))
     }
+    def gcPause(): Unit = { System.gc(); Thread.sleep(300) }
 
-    val tTotal0 = System.nanoTime()
     if (sys.env.contains("SPARK_GRAFT_BENCH_DEBUG")) {
-      // stage-cost breakdown: scan-only, scan+shuffle, full pipeline
-      def scanOnly(): Double = {
+      // stage-cost breakdown for scaling analysis: generate-only,
+      // generate+shuffle (no kernel), full pipeline
+      import org.apache.spark.sql.functions.{col, hash, pmod, sum}
+      def genOnly(): Double = fusedDocs.map { n =>
         val t0 = System.nanoTime()
-        spark.read.parquet(corpus).agg(count(lit(1)), sum(size(col("spans")))).collect()
-        (System.nanoTime() - t0) / 1e9
-      }
-      def scanShuffle(): Double = {
-        val docs = spark.read.parquet(corpus).as[graft.model.Doc]
-        val t0 = System.nanoTime()
-        docs.repartition(parts, pmod(hash(col("doc_id")), lit(parts))).as[graft.model.Doc]
-          .mapPartitions(it => Iterator.single(it.size))
+        ExtractionPipeline.synthDocs(spark, n, parallelism = parts)
+          .mapPartitions(it => Iterator.single(it.map(_.spans.size).sum))(
+            org.apache.spark.sql.Encoders.scalaInt)
           .agg(sum(col("value"))).collect()
         (System.nanoTime() - t0) / 1e9
-      }
-      (1 to 2).foreach { i =>
-        System.err.println(f"DEBUG pass$i scan=${scanOnly()}%.2f scanShuffle=${scanShuffle()}%.2f full=${onePass()._1}%.2f")
+      }.getOrElse(-1.0)
+      def genShuffle(): Double = fusedDocs.map { n =>
+        val t0 = System.nanoTime()
+        ExtractionPipeline.synthDocs(spark, n, parallelism = parts)
+          .repartition(parts, pmod(hash(col("doc_id")), lit(parts)))
+          .mapPartitions(it => Iterator.single(it.size))(
+            org.apache.spark.sql.Encoders.scalaInt)
+          .agg(sum(col("value"))).collect()
+        (System.nanoTime() - t0) / 1e9
+      }.getOrElse(-1.0)
+      (1 to 3).foreach { i =>
+        System.err.println(f"DEBUG l$level pass$i gen=${genOnly()}%.2f " +
+          f"genShuffle=${genShuffle()}%.2f full=${onePass()._1}%.2f")
       }
     }
-    def gcPause(): Unit = { System.gc(); Thread.sleep(300) }
-    onePass(); gcPause(); onePass(); gcPause() // warmup (C2)
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "5").toInt
-    val timed = (1 to passes).map { _ => val r = onePass(); gcPause(); r }
-    System.err.println(s"DEBUG timed walls: ${timed.map(t => f"${t._1}%.2f").mkString(", ")}")
-    // best-of-k: peak sustained throughput, robust to GC/host noise in a
-    // shared sandbox (each pass is a full multi-hundred-k-doc job, not a
-    // microbench); both levels together run ~3.5 min, whole bench ~6 min.
-    // The median wall is reported alongside: best-of is the headline (noise
-    // can only slow a pass, never speed it), median shows the efficiency
-    // number is not riding on one lucky pass.
-    val best = timed.minBy(_._1)
-    val (wall, nDocs, nPages, nSpans) = best
-    val walls = timed.map(_._1).sorted
-    val medianWall = walls(walls.length / 2)
-    val totalSec = (System.nanoTime() - tTotal0) / 1e9
-    println(s"BENCH_LEVEL wall_sec=$wall median_wall_sec=$medianWall " +
-      s"pages=$nPages docs=$nDocs spans=$nSpans " +
-      s"pages_per_sec=${nPages / wall} docs_per_sec=${nDocs / wall} " +
-      s"pages_per_sec_median=${nPages / medianWall} " +
-      s"spans_per_sec=${nSpans / wall} total_sec=$totalSec")
+
+    println("READY")
+    System.out.flush()
+    val stdin = new java.io.BufferedReader(new java.io.InputStreamReader(System.in))
+    var done = false
+    while (!done) {
+      stdin.readLine() match {
+        case null | "quit" => done = true
+        case "warmup" =>
+          onePass(); gcPause()
+          println("OK"); System.out.flush()
+        case "pass" =>
+          val (wall, nDocs, nPages, nSpans) = onePass()
+          gcPause() // settle the heap BEFORE handing the bus to the peer
+          println(s"PASS wall=$wall pages=$nPages docs=$nDocs spans=$nSpans")
+          System.out.flush()
+        case other =>
+          System.err.println(s"[bench-l$level] unknown command: $other")
+      }
+    }
     spark.stop()
   }
 }

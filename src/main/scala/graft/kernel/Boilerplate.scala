@@ -39,12 +39,22 @@ object Boilerplate {
     val text = new StringBuilder
     def flushText(): Unit = {
       val t = text.toString
-      if (t.trim.nonEmpty) stack.top.children += TextNode(decodeEntities(t))
+      if (trimmedLength(t) > 0) stack.top.children += TextNode(decodeEntities(t))
       text.clear()
     }
     while (i < n) {
       val c = html.charAt(i)
-      if (c == '<' && i + 1 < n) {
+      if (c != '<') {
+        // bulk text run: append up to the next '<' in one slice instead of
+        // char-by-char (the majority of page bytes take this path). The
+        // java.lang.StringBuilder 3-arg overload is called explicitly via
+        // `underlying` — on the Scala wrapper, (s, i, stop) silently
+        // auto-tuples into append(Any) and corrupts the text
+        val j = html.indexOf('<', i)
+        val stop = if (j < 0) n else j
+        text.underlying.append(html, i, stop)
+        i = stop
+      } else if (i + 1 < n) {
         val next = html.charAt(i + 1)
         if (next == '!' || next == '?') { // comment/doctype: skip to '>'
           flushText()
@@ -104,17 +114,25 @@ object Boilerplate {
     if (sp < 0) (trimmed.toLowerCase, Map.empty)
     else {
       val name = trimmed.substring(0, sp).toLowerCase
-      val attrs = Map.newBuilder[String, String]
-      for (m <- attrRe.findAllMatchIn(trimmed.substring(sp))) {
-        val v = Option(m.group(3)).orElse(Option(m.group(4))).orElse(Option(m.group(5))).getOrElse("")
-        attrs += m.group(1).toLowerCase -> v
+      // attrRe requires an '=': tags without one (e.g. <article anything>)
+      // can skip the regex scan and its substring allocation entirely
+      if (trimmed.indexOf('=', sp) < 0) (name, Map.empty)
+      else {
+        val attrs = Map.newBuilder[String, String]
+        for (m <- attrRe.findAllMatchIn(trimmed.substring(sp))) {
+          val v = Option(m.group(3)).orElse(Option(m.group(4))).orElse(Option(m.group(5))).getOrElse("")
+          attrs += m.group(1).toLowerCase -> v
+        }
+        (name, attrs.result())
       }
-      (name, attrs.result())
     }
   }
 
   def decodeEntities(s: String): String =
-    s.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
+    // fast path: no '&' means no entity can match — skip the five chained
+    // replace() calls, each of which allocates a full copy of the string
+    if (s.indexOf('&') < 0) s
+    else s.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
       .replace("&#39;", "'").replace("&amp;", "&")
 
   // ---- text-density boilerplate scoring ----
@@ -122,6 +140,16 @@ object Boilerplate {
   private val chromeTags = Set("nav", "aside", "script", "style", "form", "iframe")
   private val chromeClassRe =
     """(?i)\b(nav|menu|sidebar|banner|advert|ads?|cookie|footer-links|share|social|promo|related)\b""".r
+
+  /** `s.trim.length` without allocating the trimmed copy (String.trim
+    * semantics: both ends strip chars <= U+0020). */
+  private def trimmedLength(s: String): Int = {
+    var a = 0
+    var b = s.length
+    while (a < b && s.charAt(a) <= ' ') a += 1
+    while (b > a && s.charAt(b - 1) <= ' ') b -= 1
+    b - a
+  }
 
   final case class Stats(textLen: Int, linkTextLen: Int, tagCount: Int) {
     def density: Double = textLen.toDouble / math.max(1, tagCount)
@@ -140,7 +168,7 @@ object Boilerplate {
       if (hit != null) return hit
     }
     val out = node match {
-      case TextNode(t) => Stats(t.trim.length, 0, 0)
+      case TextNode(t) => Stats(trimmedLength(t), 0, 0)
       case Tag(name, _, children) =>
         val base = children.foldLeft(Stats(0, 0, 1)) { (acc, ch) =>
           val s = statsMemo(ch, memo)

@@ -19,8 +19,17 @@ object Markdown {
   private val imageRe = "^!\\[([^\\]]*)\\]\\(([^)]*)\\)\\s*$".r
   private val formulaRe = "^\\$\\$(.*)\\$\\$\\s*$".r
 
-  private def isTableLine(l: String): Boolean =
-    l.contains("|") && l.split("\\|", -1).length >= 3
+  // count('|') >= 2 ⇔ split("\\|", -1).length >= 3, without the regex
+  // split allocating an array per line
+  private def isTableLine(l: String): Boolean = {
+    var pipes = 0
+    var i = 0
+    while (i < l.length && pipes < 2) {
+      if (l.charAt(i) == '|') pipes += 1
+      i += 1
+    }
+    pipes >= 2
+  }
 
   def extract(text: String): Vector[Element] = {
     val out = Vector.newBuilder[Element]
@@ -41,16 +50,26 @@ object Markdown {
     }
     while (i < lines.length) {
       val line = lines(i).trim
-      line match {
-        case "" => flushPara()
-        case headingRe(hashes, t) =>
+      // first-char gates: each anchored pattern only matches a line that
+      // starts with its marker char, so the regex machinery runs only on
+      // candidate lines (most lines are plain text). Cascade order is
+      // unchanged: heading, formula, image, table, list, paragraph.
+      if (line.isEmpty) flushPara()
+      else {
+        val c0 = line.charAt(0)
+        val head = if (c0 == '#') headingRe.unapplySeq(line) else None
+        val form = if (head.isEmpty && c0 == '$') formulaRe.unapplySeq(line) else None
+        val img = if (head.isEmpty && form.isEmpty && c0 == '!')
+          imageRe.unapplySeq(line) else None
+        if (head.isDefined) {
           flushPara()
-          emit(if (hashes.length == 1) "Title" else "Section-header", t.trim)
-        case formulaRe(f) =>
-          flushPara(); emit("Formula", f.trim)
-        case imageRe(_, ref) =>
-          flushPara(); emit("Picture", "", mediaRef = ref, lines = 8)
-        case l if isTableLine(l) =>
+          val hs = head.get
+          emit(if (hs.head.length == 1) "Title" else "Section-header", hs(1).trim)
+        } else if (form.isDefined) {
+          flushPara(); emit("Formula", form.get.head.trim)
+        } else if (img.isDefined) {
+          flushPara(); emit("Picture", "", mediaRef = img.get(1), lines = 8)
+        } else if (isTableLine(line)) {
           flushPara()
           // consume the whole pipe-table block
           val block = ArrayBuffer.empty[String]
@@ -65,10 +84,13 @@ object Markdown {
               val t = block.mkString(" ")
               emit("Text", t, lines = math.max(1, (t.length + 79) / 80))
           }
-        case listRe(_, item) =>
-          flushPara(); emit("List-item", item.trim)
-        case other =>
-          para += other
+        } else {
+          val lst = if (c0 == '-' || c0 == '*' || c0 == '+' || c0.isDigit)
+            listRe.unapplySeq(line) else None
+          if (lst.isDefined) {
+            flushPara(); emit("List-item", lst.get(1).trim)
+          } else para += line
+        }
       }
       i += 1
     }

@@ -31,12 +31,40 @@ object ReadingOrder {
 
   def order(elements: Seq[Element]): Seq[Element] = {
     if (elements.size <= 1) return elements
-    val idx = elements.zipWithIndex.toVector
+    // Fast path for the dominant page shape (synthesized stacked layout:
+    // Boilerplate/Markdown place every block at the same [x1,x2]): when all
+    // x-extents are identical, no subset can ever produce a vertical gap,
+    // and when the y-intervals are strictly separated, every horizontal cut
+    // isolates the topmost element — the recursion provably reduces to a
+    // plain y1 sort. O(k log k) instead of O(k²) re-sorts, bit-identical
+    // output (pinned by the golden fixtures, the permutation-invariance
+    // property and the Python cross-implementation, which runs the general
+    // algorithm unconditionally).
+    val hx1 = elements.head.x1
+    val hx2 = elements.head.x2
+    if (elements.forall(e => e.x1 == hx1 && e.x2 == hx2)) {
+      val sorted = elements.sortBy(_.y1)
+      var separated = true
+      var i = 1
+      while (separated && i < sorted.size) {
+        if (!(sorted(i).y1 > sorted(i - 1).y2)) separated = false
+        i += 1
+      }
+      if (separated) return sorted
+    }
+    // cut()'s result is a pure function of the element SET (every internal
+    // step either sorts by element values + original index or is
+    // order-independent), so the input may be pre-sorted by y1 once —
+    // letting hGaps scan in list order instead of re-sorting at every
+    // recursion level (partitions preserve the y1 order). The
+    // permutation-invariance property test pins this.
+    val idx = elements.zipWithIndex.toVector.sortBy(_._1.y1)
     cut(idx, allowV = true).map(_._1)
   }
 
   private type IE = (Element, Int)
 
+  /** Invariant: `els` is sorted by y1 (maintained by every partition). */
   private def cut(els: Vector[IE], allowV: Boolean): Vector[IE] = {
     if (els.size <= 1) return els
     val h = hGaps(els)
@@ -46,10 +74,10 @@ object ReadingOrder {
     // between label and value columns that humans read row-wise (both rules
     // pinned by the reference form page, multi_page_results.json p1)
     val blockWidth = els.map(_._1.x2).max - els.map(_._1.x1).min
-    val blockYSpan = els.map(_._1.y1).max - els.map(_._1.y1).min
+    val blockYSpan = els.last._1.y1 - els.head._1.y1 // y1-sorted
     val v = if (allowV) vGaps(els).filter { case (w, splitX) =>
       val (l, r) = els.partition(_._1.x2 <= splitX)
-      def ySpan(s: Vector[IE]) = s.map(_._1.y1).max - s.map(_._1.y1).min
+      def ySpan(s: Vector[IE]) = s.last._1.y1 - s.head._1.y1 // y1-sorted
       l.size >= 2 && r.size >= 2 && w >= 0.08 * blockWidth &&
         // true columns run tall on BOTH sides; a side collapsing to a single
         // text row is a row fragment, read inline, not a column
@@ -72,15 +100,15 @@ object ReadingOrder {
 
   /** First full-width horizontal gap (scanning top-down): (width, splitY).
     * The FIRST gap (not widest) keeps top-to-bottom recursion stable; its
-    * width only competes against a column gap. */
+    * width only competes against a column gap. Relies on the cut()
+    * invariant that `els` is already y1-sorted — no per-level re-sort. */
   private def hGaps(els: Vector[IE]): Option[(Double, Double)] = {
-    val iv = els.map(e => (e._1.y1, e._1.y2)).sortBy(_._1)
-    var coverEnd = iv.head._2
+    var coverEnd = els.head._1.y2
     var i = 1
-    while (i < iv.length) {
-      val (s, e) = iv(i)
-      if (s > coverEnd) return Some((s - coverEnd, (coverEnd + s) / 2.0))
-      if (e > coverEnd) coverEnd = e
+    while (i < els.length) {
+      val e = els(i)._1
+      if (e.y1 > coverEnd) return Some((e.y1 - coverEnd, (coverEnd + e.y1) / 2.0))
+      if (e.y2 > coverEnd) coverEnd = e.y2
       i += 1
     }
     None
