@@ -167,26 +167,33 @@ object Bench {
     // both pinned worker JVMs stay alive (disjoint core sets when the box
     // allows, so the idle one cannot perturb the measuring one) and passes
     // alternate lo,hi,lo,hi,... — each adjacent pair samples the same noise
-    // environment, so slow drift cancels in the per-pair ratio. Headline
-    // efficiency = MEDIAN of per-pair efficiencies (robust both ways: a
-    // window straddling a pair boundary can bias one pair, not the median);
-    // best/worst pairs and per-level best walls are reported alongside.
-    val pinHi = if (nLo + nHi <= Runtime.getRuntime.availableProcessors()) nLo else 0
-    val loW = new LevelWorker(nLo, 0, corpus, parts, fusedArg)
-    val hiW = new LevelWorker(nHi, pinHi, corpus, parts, fusedArg)
-    // 7 pairs: the median of 7 tolerates 3 noise-hit pairs; measured pair
-    // spread on this sandbox is wide (hypervisor neighbors), so the extra
-    // two pairs buy real stability for ~70s of wall
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "7").toInt
-    (1 to 2).foreach { _ => loW.warmup(); hiW.warmup() } // C2 compilation
-    val pairs = (1 to passes).map { i =>
-      val lo = loW.pass()
-      val hi = hiW.pass()
-      System.err.println(f"[bench] pair $i: lo=${lo._1}%.2fs hi=${hi._1}%.2fs " +
-        f"eff=${(lo._1 / hi._1) / (nHi.toDouble / nLo)}%.4f")
-      (lo, hi)
+    // environment. Headline efficiency = ratio of per-level minimum walls
+    // (see below); per-pair efficiencies are reported alongside.
+    //
+    // SPARK_GRAFT_BENCH_SKIP_SCALING=1: battery-only mode for ad-hoc runs
+    // against alternative sf dirs (e.g. the 10x scale-confidence corpus);
+    // scaling fields then carry a degenerate placeholder measurement.
+    val skipScaling = sys.env.get("SPARK_GRAFT_BENCH_SKIP_SCALING").contains("1")
+    val pairs = if (skipScaling) Seq(((1.0, 0L, 0L, 0L), (1.0, 0L, 0L, 0L)))
+    else {
+      val pinHi = if (nLo + nHi <= Runtime.getRuntime.availableProcessors()) nLo else 0
+      val loW = new LevelWorker(nLo, 0, corpus, parts, fusedArg)
+      val hiW = new LevelWorker(nHi, pinHi, corpus, parts, fusedArg)
+      // 7 pairs: per-level minima over 7 interleaved passes tolerate several
+      // noise-hit passes; measured pass spread on this sandbox is wide
+      // (hypervisor neighbors), so the extra pairs buy real stability
+      val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "7").toInt
+      (1 to 2).foreach { _ => loW.warmup(); hiW.warmup() } // C2 compilation
+      val out = (1 to passes).map { i =>
+        val lo = loW.pass()
+        val hi = hiW.pass()
+        System.err.println(f"[bench] pair $i: lo=${lo._1}%.2fs hi=${hi._1}%.2fs " +
+          f"eff=${(lo._1 / hi._1) / (nHi.toDouble / nLo)}%.4f")
+        (lo, hi)
+      }
+      loW.quit(); hiW.quit()
+      out
     }
-    loW.quit(); hiW.quit()
 
     val (nPages, nDocs, nSpans) = (pairs.head._1._2, pairs.head._1._3, pairs.head._1._4)
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)

@@ -215,12 +215,18 @@ object SparkEntry {
     "d4_lsh_pairs" -> ((s, d) =>
       Dedup.lshNearDupPairs(Dedup.minhashSignatures(t(s, d, "documents")))
         .orderBy("doc_a", "doc_b")),
-    "d5_embedding_neardup" -> ((s, d) =>
+    "d5_embedding_neardup" -> ((s, d) => {
       // banded sign-projection LSH (equi-join per band) — the scale-safe
       // production operator; the oracle reproduces the identical bucketing
-      // from the same hyperplane literals, so results hash-match exactly
-      Dedup.embeddingNearDupsBanded(t(s, d, "embeddings"), minCosine = 0.45)
-        .orderBy("id_a", "id_b")),
+      // from the same hyperplane literals, so results hash-match exactly.
+      // bitsPerBand scales with corpus size (= 4, the oracle's literal
+      // constant, at every driver sf — the auto knob only engages at the
+      // 10x scale-confidence corpus and beyond).
+      val emb = t(s, d, "embeddings")
+      Dedup.embeddingNearDupsBanded(emb, minCosine = 0.45,
+        bitsPerBand = Dedup.autoBitsPerBand(emb.count()))
+        .orderBy("id_a", "id_b")
+    }),
     "d6_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(t(s, d, "documents"), maxHamming = 6)
         .orderBy("doc_a", "doc_b")),

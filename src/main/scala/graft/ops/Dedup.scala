@@ -308,6 +308,19 @@ object Dedup {
     * regime) collide with probability →1; see the OpsSpec recall test vs
     * brute force. At 100 TB raise `bitsPerBand` (bucket count 2^r) so
     * per-bucket populations stay bounded; `bands` buys recall linearly. */
+  /** The `bitsPerBand` bucket-population knob chosen from corpus size:
+    * smallest bit count keeping expected per-band bucket population at or
+    * under `targetBucketPop` (in-bucket work is quadratic in population, so
+    * an unraised knob at 10x corpus costs ~100x — measured 47x on the 10x
+    * scale-confidence corpus before this). Recall stays high in the
+    * near-dup regime: at cosine 0.95, P(band match) = (1-θ/π)^bits ≈ 0.43
+    * even at bits=8, and 8 bands put overall recall ≈ 0.99. */
+  def autoBitsPerBand(n: Long, targetBucketPop: Int = 64, minBits: Int = 4): Int = {
+    var bits = minBits
+    while ((n >> bits) > targetBucketPop && bits < 24) bits += 1
+    bits
+  }
+
   def embeddingNearDupsBanded(embeddings: DataFrame, minCosine: Double,
                               bands: Int = 8, bitsPerBand: Int = 4,
                               dim: Int = 64,
@@ -329,14 +342,19 @@ object Dedup {
       col("embedding").as("e_a"), col("nrm").as("n_a"))
     val b2 = banded.select(col("band"), col("key"), col("vec_id").as("id_b"),
       col("embedding").as("e_b"), col("nrm").as("n_b"))
+    // cosine BEFORE the distinct: the exact dot is a cheap codegen'd loop,
+    // so recomputing it for a pair that collides in several bands costs
+    // nothing, while deduping afterwards shuffles only (id_a, id_b) — a
+    // distinct over the raw candidates would shuffle both full embedding
+    // arrays per pair (~0.5 KB/pair; measured the dominant d5 cost at the
+    // 10x corpus)
     a.join(b2, Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "e_a", "n_a", "e_b", "n_b")
-      .distinct()
       .withColumn("cosine",
         graft.functions.VecMath.vecDot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")))
       .filter(col("cosine") >= minCosine)
       .select("id_a", "id_b")
+      .distinct()
   }
 
   /** Embedding cosine near-duplicates, brute force: all pairs with cosine ≥
