@@ -145,19 +145,22 @@ object Dedup {
       .withColumnRenamed("col", "key")
   }
 
-  /** Dedup + estimated-similarity gate over (doc_a, doc_b, sig_a, sig_b)
-    * candidate rows (doc_a < doc_b, possibly repeated across bands):
-    * estimated similarity = fraction of agreeing signature positions. */
+  /** Similarity gate + dedup over (doc_a, doc_b, sig_a, sig_b) candidate
+    * rows (doc_a < doc_b, possibly repeated across bands): estimated
+    * similarity = fraction of agreeing signature positions. The estimate is
+    * computed BEFORE the distinct — it is deterministic per pair, so
+    * recomputing it for a multi-band collision is free, while deduping
+    * afterwards shuffles (doc_a, doc_b, est) instead of two full k-long
+    * signature arrays per candidate. */
   def pairsFromCandidates(candidates: DataFrame, k: Int = 16,
                           minEstJaccard: Double = 0.5): DataFrame =
     candidates
-      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
-      .distinct()
       .withColumn("est_jaccard",
         round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
           (b: Column) => b)).cast("double") / lit(k), 6))
       .filter(col("est_jaccard") >= minEstJaccard)
       .select("doc_a", "doc_b", "est_jaccard")
+      .distinct()
 
   /** LSH candidate pairs from banded MinHash signatures: `bands` bands of
     * `k/bands` rows; docs sharing any band key become candidates. */
