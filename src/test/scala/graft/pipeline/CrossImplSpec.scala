@@ -47,6 +47,38 @@ class CrossImplSpec extends AnyFunSuite {
     (hist, spans)
   }
 
+  test("x5/x6 scoring queries match the independent Python recompute row-for-row") {
+    val in = getClass.getResourceAsStream("/graft/corpus_expected/scoring_expected.json")
+    assert(in != null, "missing scoring resource — run tools/recompute_scoring.py")
+    val root = try mapper.readTree(in) finally in.close()
+
+    val wantX5 = (0 until root.get("x5").size()).map { i =>
+      val r = root.get("x5").get(i)
+      (r.get(0).asText(), r.get(1).asText(), r.get(2).asText(),
+        r.get(3).asText(), r.get(4).asText())
+    }.sorted
+    val gotX5 = SparkEntry.queries("x5_field_outcomes")(spark, "")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4))).toSeq.sorted
+    assert(gotX5.size == wantX5.size,
+      s"x5 rows: spark=${gotX5.size} python=${wantX5.size}")
+    gotX5.zip(wantX5).foreach { case (g, w) => assert(g == w, s"x5: $g vs $w") }
+
+    val wantX6 = (0 until root.get("x6").size()).map { i =>
+      val r = root.get("x6").get(i)
+      (r.get(0).asText(), r.get(1).asDouble(), r.get(2).asLong(),
+        r.get(3).asLong(), r.get(4).asLong(), r.get(5).asLong(),
+        r.get(6).asLong(), r.get(7).asText(), r.get(8).asDouble())
+    }
+    val gotX6 = SparkEntry.queries("x6_field_scores")(spark, "")
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getString(7),
+        r.getDouble(8))).toSeq
+    assert(gotX6 == wantX6, s"x6: $gotX6 vs $wantX6")
+  }
+
   for ((sfDir, tag) <- Seq("/root/testdata/sf0.001" -> "sf0001",
                            "/root/testdata/sf0.01" -> "sf001")) {
     test(s"x1/x2 over $sfDir match the independent Python recompute span-for-span") {
