@@ -72,4 +72,39 @@ class PlanSpec extends AnyFunSuite {
       "l_returnflag:string,l_linestatus:string>")
       || p.contains("l_returnflag"), p.take(900))
   }
+
+  /** Every exchange whose output already carries BOTH pair ids is the
+    * pair-dedup shuffle — it must move only scalars. Shuffling the full
+    * embedding/signature arrays per candidate pair was the dominant d5
+    * cost at the 10x corpus (~0.5 KB/pair). */
+  private def pairExchangesCarryNoArrays(name: String, idA: String, idB: String): Unit = {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    // AQE wraps the tree in AdaptiveSparkPlanExec whose children are not
+    // traversable pre-execution — inspect the static physical plan instead
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan =
+      try SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    val pairExchanges = plan.collect {
+      case e: ShuffleExchangeLike
+        if e.output.exists(_.name == idA) && e.output.exists(_.name == idB) => e
+    }
+    assert(pairExchanges.nonEmpty, s"$name: expected a pair-dedup exchange")
+    pairExchanges.foreach { e =>
+      val arrays = e.output.filter(
+        _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+      assert(arrays.isEmpty,
+        s"$name pair-dedup exchange must not shuffle arrays, found: " +
+          arrays.map(_.name).mkString(", "))
+    }
+  }
+
+  test("d5 pair dedup shuffles ids only, never the embedding arrays") {
+    pairExchangesCarryNoArrays("d5_embedding_neardup", "id_a", "id_b")
+  }
+
+  test("d4 pair dedup shuffles ids only, never the signature arrays") {
+    pairExchangesCarryNoArrays("d4_lsh_pairs", "doc_a", "doc_b")
+  }
 }
