@@ -47,6 +47,13 @@ class CrossImplSpec extends AnyFunSuite {
     (hist, spans)
   }
 
+  test("driver flagship entry() produces span rows with the contract columns") {
+    val df = SparkEntry.entry(spark)
+    assert(df.columns.toSeq == Seq("doc_id", "offset", "kind", "media_ref",
+      "text", "success", "failure_code"))
+    assert(df.count() > 0, "driver smoke-checks rows > 0")
+  }
+
   test("x5/x6 scoring queries match the independent Python recompute row-for-row") {
     val in = getClass.getResourceAsStream("/graft/corpus_expected/scoring_expected.json")
     assert(in != null, "missing scoring resource — run tools/recompute_scoring.py")
