@@ -37,9 +37,20 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational / rollup shapes (SURVEY.md §2.4) ----
     "q1_lineitem_rollup" -> ((s, d) => {
+      // Big SUMs run in exact DECIMAL, rounded, then cast back to double
+      // (here and in q2/q12): a double sum of millions of rows is only
+      // reproducible to ~2e-14 relative across summation orders, and
+      // round(x, 4) on a 1e9-scale sum asks for 14 significant digits —
+      // at sf0.1 the Spark partial-agg order vs DuckDB's actually flipped
+      // q12's 4th decimal. Decimal summation is associative (exact), so
+      // Spark and DuckDB agree bit-for-bit at ANY corpus size; the final
+      // double cast keeps the dumped schema unchanged. AVGs stay double:
+      // dividing by the count shrinks them to ~9 significant digits,
+      // far inside double determinism.
       t(s, d, "lineitem").groupBy("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n_rows"),
-          round(sum("l_quantity"), 4).as("sum_qty"),
+          round(sum(col("l_quantity").cast("decimal(18,6)")), 4)
+            .cast("double").as("sum_qty"),
           round(avg("l_extendedprice"), 4).as("avg_price"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -49,7 +60,8 @@ object SparkEntry {
         .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
         .agg(count(lit(1)).as("n_orders"),
-          round(sum("o_totalprice"), 4).as("total_price"),
+          round(sum(col("o_totalprice").cast("decimal(18,6)")), 4)
+            .cast("double").as("total_price"), // exact decimal sum: see q1
           round(avg("o_totalprice"), 4).as("avg_price"))
         .orderBy("n_name")
     }),
@@ -63,6 +75,18 @@ object SparkEntry {
         .orderBy("bucket")
     }),
     "q4_running_peak" -> ((s, d) => {
+      // SCALE BOUND (documented, accepted): the window partitions by
+      // event_type (~5 distinct values), so at 100x corpus this is 5
+      // single-task total sorts — faithful to SURVEY W1's sweep-line
+      // semantics and oracle-pinned, but NOT the shape to run over a
+      // 100 TB fact table. The scale path is a chunked two-phase prefix
+      // sum: bucket by (event_type, time-chunk), compute in-chunk running
+      // peaks + chunk totals in a parallel keyed aggregation, then resolve
+      // cumulative offsets over the tiny (type x chunk) table and take
+      // max(offset + chunk_peak). It is kept OUT of this oracle-checked
+      // query on purpose: re-associating the double summation changes FP
+      // rounding at the 4th decimal in edge cases, which would break the
+      // bit-exact DuckDB lockstep this battery guarantees.
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -132,8 +156,11 @@ object SparkEntry {
         .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name")
         .agg(count(lit(1)).as("n_items"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
-            .as("revenue"))
+          // exact decimal product+sum (see q1): decimal(18,6) operands →
+          // decimal(38,12) products, summed exactly, rounded, then double
+          round(sum(col("l_extendedprice").cast("decimal(18,6)") *
+            (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)"))), 4)
+            .cast("double").as("revenue"))
         .orderBy("r_name")
     }),
     "q13_part_type_stats" -> ((s, d) => {
@@ -219,12 +246,22 @@ object SparkEntry {
       // banded sign-projection LSH (equi-join per band) — the scale-safe
       // production operator; the oracle reproduces the identical bucketing
       // from the same hyperplane literals, so results hash-match exactly.
-      // bitsPerBand scales with corpus size (= 4, the oracle's literal
-      // constant, at every driver sf — the auto knob only engages at the
-      // 10x scale-confidence corpus and beyond).
+      // bitsPerBand is PINNED to 4 = the oracle's literal constant: the
+      // oracle-checked query and its twin must stay in lockstep at every
+      // sf (sf0.1 has 2000 embeddings, where the auto knob would pick 5
+      // and silently diverge from the 4-bit oracle). The corpus-sized
+      // `autoBitsPerBand` knob is reserved for non-oracle scale runs:
+      // scale-confidence batteries (10x corpus and beyond) set
+      // SPARK_GRAFT_D5_BITS=auto (or an explicit bit count), which also
+      // keeps the sizing count() out of the bench's timed region for the
+      // oracle path.
       val emb = t(s, d, "embeddings")
-      Dedup.embeddingNearDupsBanded(emb, minCosine = 0.45,
-        bitsPerBand = Dedup.autoBitsPerBand(emb.count()))
+      val bits = sys.env.get("SPARK_GRAFT_D5_BITS") match {
+        case Some("auto")            => Dedup.autoBitsPerBand(emb.count())
+        case Some(n) if n.nonEmpty   => n.toInt
+        case _                       => 4
+      }
+      Dedup.embeddingNearDupsBanded(emb, minCosine = 0.45, bitsPerBand = bits)
         .orderBy("id_a", "id_b")
     }),
     "d6_simhash_pairs" -> ((s, d) =>
@@ -457,13 +494,16 @@ object SparkEntry {
 
   private def baseOracleSql: Map[String, String] = Map(
     "q1_lineitem_rollup" ->
+      // big sums in exact DECIMAL then ::DOUBLE — lockstep with the Spark
+      // side's decimal summation (double sums reassociate; see the q1
+      // query comment)
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
-        | round(sum(l_quantity),4) AS sum_qty,
+        | round(sum(CAST(l_quantity AS DECIMAL(18,6))),4)::DOUBLE AS sum_qty,
         | round(avg(l_extendedprice),4) AS avg_price
         |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "q2_nation_order_stats" ->
       """SELECT n_name, count(*) AS n_orders,
-        | round(sum(o_totalprice),4) AS total_price,
+        | round(sum(CAST(o_totalprice AS DECIMAL(18,6))),4)::DOUBLE AS total_price,
         | round(avg(o_totalprice),4) AS avg_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
@@ -694,7 +734,8 @@ object SparkEntry {
         |ORDER BY nationkey""".stripMargin,
     "q12_region_revenue" ->
       """SELECT r_name, count(*) AS n_items,
-        | round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        | round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+        |   * (1 - CAST(l_discount AS DECIMAL(18,6)))), 4)::DOUBLE AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey

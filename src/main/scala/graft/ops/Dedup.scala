@@ -236,30 +236,45 @@ object Dedup {
   }
 
   /** Duplicate clusters from a candidate-pair table: connected components
-    * by iterative min-label propagation with POINTER JUMPING (label
-    * doubling): each round every node first adopts the smallest label in
-    * its neighborhood, then shortcuts to its label's label. The jump makes
-    * the known-min horizon roughly double per round, so convergence is
-    * O(log diameter) instead of O(diameter) — a 64-edge path settles in ~7
-    * rounds, not 64 (property-tested); near-dup components are shallow
-    * anyway, so real corpora still settle in 3-4. Labels are always node
-    * ids of the same component (min of initial self-labels), so the jump
-    * lookup `label → label(label)` is a total inner join. Pairs → clusters
-    * is what dedup actually needs: the cluster id doubles as the
-    * deterministic keeper (min doc_id). Each round is two shuffles
-    * (neighbor join + min agg, then the jump self-join); the driver loop
-    * only checks a scalar convergence count.
+    * by iterative min-label propagation with ADAPTIVE POINTER JUMPING.
+    *
+    * Every round each node adopts the smallest label in its closed
+    * neighborhood (one shuffle: neighbor join + min aggregation). Near-dup
+    * components are shallow — real corpora settle in 3-4 plain rounds — so
+    * the first `jumpFromRound` rounds run ONLY that cheap step. If the
+    * labels still haven't converged (a deep component: long chains of
+    * chained near-dups), the label-doubling jump engages: after
+    * propagation each node shortcuts to its label's label, making the
+    * known-min horizon roughly double per round — O(log diameter) total, a
+    * 64-edge path settles in ~10 rounds, not 64 (property-tested). Labels
+    * are always node ids of the same component, so the jump lookup
+    * `label → label(label)` is a total inner join.
+    *
+    * Convergence is detected WITHOUT an extra join: the propagation
+    * aggregation carries each node's previous label through as
+    * `min(label) over the single self row`, so "any node changed?" is a
+    * filter-count on the (checkpointed) round output. A zero-change
+    * propagation round means every label is the min over its closed
+    * neighborhood — by induction outward from each component's minimum
+    * node, that fixpoint IS the component minimum — so stopping there is
+    * exact, and the jump (which only relabels to an equal-or-smaller
+    * label) is the identity at that point.
+    *
+    * Pairs → clusters is what dedup actually needs: the cluster id doubles
+    * as the deterministic keeper (min doc_id). Per plain round: one
+    * shuffle job + a cached scalar count. Jump rounds add the one
+    * self-join job.
     *
     * Input: (doc_a, doc_b) candidate pairs. Output: (doc_id, cluster_id)
     * for every doc appearing in a pair. */
-  def duplicateClusters(pairs: DataFrame, maxIters: Int = 30): DataFrame = {
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 30,
+                        jumpFromRound: Int = 3): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    // edges are re-joined every round and labels are both re-read (the
-    // convergence count) and fed to the next round: without persistence
-    // each action would re-execute the ENTIRE upstream (e.g. the full
-    // MinHash pipeline) once per round — measured 59s vs 4s on the d7
-    // battery query. localCheckpoint also truncates the per-round lineage
-    // so plan analysis doesn't deepen linearly with iterations.
+    // edges are re-joined every round and each round's labels feed the
+    // next: without persistence each action would re-execute the ENTIRE
+    // upstream (e.g. the full MinHash pipeline) once per round — measured
+    // 59s vs 4s on the d7 battery query. localCheckpoint also truncates
+    // the per-round lineage so plan analysis doesn't deepen with rounds.
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -268,28 +283,31 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      // smallest label among self + neighbors
-      val propagated = labels.select(col("doc_id"), col("label"))
+      // smallest label among self + neighbors; `prev` = the self row's
+      // label (every node has exactly one), fused into the same shuffle
+      val prop = labels.select(col("doc_id"), col("label"), lit(true).as("self"))
         .union(edges
           .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
-          .select(col("dst").as("doc_id"), col("label")))
-        .groupBy("doc_id").agg(min("label").as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK) // read twice by the jump join
-      // pointer jump: label := propagated(label). Inner join is total —
-      // every label is a node id that propagated also carries a row for.
-      val next = propagated
-        .join(propagated.select(col("doc_id").as("label"), col("label").as("jmp")),
-          Seq("label"))
-        .select(col("doc_id"), col("jmp").as("label"))
+          .select(col("dst").as("doc_id"), col("label"), lit(false).as("self")))
+        .groupBy("doc_id")
+        .agg(min("label").as("label"),
+          min(when(col("self"), col("label"))).as("prev"))
         .localCheckpoint(true)
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
-        .filter(col("n.label") =!= col("o.label"))
-        .count()
-      propagated.unpersist()
+      val changed = prop.filter(col("label") =!= col("prev")).count() // cached
       labels.unpersist() // bound cached label copies to 2, not maxIters
-      labels = next
       converged = changed == 0
+      if (converged || i < jumpFromRound) {
+        labels = prop.select("doc_id", "label")
+      } else {
+        // deep component: engage the pointer jump — label := label(label)
+        val next = prop
+          .join(prop.select(col("doc_id").as("label"), col("label").as("jmp")),
+            Seq("label"))
+          .select(col("doc_id"), col("jmp").as("label"))
+          .localCheckpoint(true)
+        prop.unpersist()
+        labels = next
+      }
       i += 1
     }
     edges.unpersist()

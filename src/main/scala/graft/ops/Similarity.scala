@@ -88,14 +88,22 @@ object Similarity {
   def ivfCenters(k: Int, dim: Int, seed: Long): Array[Array[Double]] =
     hyperplanes(k, dim, seed ^ 0x1BF52L)
 
-  /** Lloyd's k-means on a deterministic bounded sample (first `sampleN`
-    * vectors by vec_id) — the IVF index-training phase. Driver-side by
-    * design: ANN indexes train on samples even at 100 TB; assignment of the
-    * full corpus stays distributed. */
+  /** Lloyd's k-means on a deterministic bounded sample — the IVF
+    * index-training phase. Driver-side by design: ANN indexes train on
+    * samples even at 100 TB; assignment of the full corpus stays
+    * distributed. The sample is drawn in SEEDED HASH ORDER
+    * (`md5(seed || vec_id)`), not a vec_id prefix: a prefix is whatever
+    * the ingest happened to load first (one crawl slice, one language,
+    * one day) and trains unrepresentative centers at scale, while the
+    * hash order is an unbiased deterministic shuffle — same sample every
+    * run, executed as a distributed top-N (TakeOrderedAndProject), never
+    * a full sort. */
   def trainedCenters(corpus: DataFrame, k: Int, iters: Int = 5,
-                     sampleN: Int = 512): Array[Array[Double]] = {
+                     sampleN: Int = 512,
+                     seed: Long = Synth.DefaultSeed): Array[Array[Double]] = {
     val sample = corpus.select(col("vec_id"), col("embedding"))
-      .orderBy("vec_id").limit(sampleN)
+      .orderBy(md5(concat_ws("_", lit(seed), col("vec_id"))), col("vec_id"))
+      .limit(sampleN)
       .collect().map(_.getSeq[Float](1).toArray.map(_.toDouble))
     require(sample.length >= k, s"need >= $k sample vectors")
     var centers = sample.take(k).map(_.clone())

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.ops.Dedup
-import org.apache.spark.sql.{AnalysisException, DataFrame, SparkSession}
+import org.apache.spark.sql.{AnalysisException, Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -16,24 +16,47 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * replayed micro-batch overwrites its own partition instead of
   * double-appending (idempotent under foreachBatch's at-least-once).
   *
+  * Store layout (the 100-TB contract): the store persists the BANDED KEYS
+  * — one row per (doc, band) with the md5 band key and the signature
+  * riding along — laid out in `kb = pmod(hash(key), KeyBuckets)` partition
+  * directories under each batch commit. A drop's store join then proceeds
+  * in two prunes: (1) partition pruning — only the `kb` directories the
+  * new drop's own keys hash into are read at all (a drop touching k
+  * distinct band keys reads ≤ min(k, KeyBuckets)/KeyBuckets of the store
+  * bytes; `prunedStore` exposes the pruned scan and a test pins the
+  * partition filter), then (2) the (band, key) equi-join inside the
+  * surviving buckets. Nothing is re-banded: signatures were banded once,
+  * at commit time. The pre-round-4 layout stored raw signatures and
+  * re-read + re-banded the WHOLE store every drop — O(store) per drop
+  * regardless of drop size.
+  *
   * Completeness argument (incremental ≡ batch, tested in StreamingSpec):
   * a batch pair (a,b) shares ≥1 band key; let b arrive in the later (or
-  * same) drop as a. When b's drop runs, a's signature is either in the
-  * store (cross join finds the pair) or in the same drop (the in-drop
+  * same) drop as a. When b's drop runs, a's banded keys are either in the
+  * store — b's identical band key hashes to the same kb bucket, so the
+  * pruned join finds the pair — or in the same drop (the in-drop
   * self-join finds it) — and only that run emits it, so the union of
   * per-run outputs has no cross-run duplicates. Signatures are per-doc
   * pure functions, so incremental signatures equal batch signatures.
   *
-  * Assumes doc_ids are unique across drops (re-delivered doc_ids would
-  * pair with themselves in the store). At 100 TB the store would hold the
-  * banded KEYS too (here they are recomputed from the stored signatures —
-  * 16 column expressions per run — to keep the store minimal).
+  * doc_ids are assumed unique across drops; a re-delivered doc_id would
+  * meet its own stored signature in the join, so the store join filters
+  * `id_n =!= id_o` — the violated assumption degrades to a missing
+  * self-pair (harmless) instead of emitting a degenerate (x, x, 1.0) row.
   */
 object IncrementalDedup {
 
+  /** Store key-bucket fan-out. Bounded and fixed so a drop's bucket set is
+    * collectable (≤ KeyBuckets ints) for literal partition pruning; at
+    * 100 TB this is the knob that trades pruning granularity against
+    * directory count. */
+  val KeyBuckets = 64
+
+  def keyBucket(key: Column): Column = pmod(hash(key), lit(KeyBuckets))
+
   /** Start (or resume) incremental dedup: new parquet doc files under
-    * `inDir` → near-dup pairs appended under `pairsDir/batch=N` and
-    * signatures committed under `storeDir/batch=N`. */
+    * `inDir` → near-dup pairs appended under `pairsDir/batch=N` and banded
+    * signatures committed under `storeDir/batch=N/kb=K`. */
   def run(spark: SparkSession, inDir: String, storeDir: String,
           pairsDir: String, checkpointDir: String,
           schema: String = "doc_id BIGINT, text STRING",
@@ -51,61 +74,79 @@ object IncrementalDedup {
       .trigger(Trigger.AvailableNow())
       .start()
 
-  /** One micro-batch: hash the new docs, pair them against the committed
-    * store and against each other, commit pairs then signatures. */
+  /** One micro-batch: hash + band the new docs, pair them against the
+    * kb-pruned committed store and against each other, commit pairs then
+    * the banded store partition. */
   private[streaming] def processBatch(batch: DataFrame, batchId: Long,
                                       storeDir: String, pairsDir: String,
                                       k: Int, bands: Int,
                                       minEstJaccard: Double): Unit = {
     val spark = batch.sparkSession
-    val sigs = Dedup.minhashSignatures(batch, k).persist()
+    val newBanded = Dedup.bandedSignatureKeys(
+      Dedup.minhashSignatures(batch, k), k, bands)
+      .withColumn("kb", keyBucket(col("key")))
+      .persist()
     try {
-      val newBanded = Dedup.bandedSignatureKeys(sigs, k, bands).persist()
-      try {
-        // committed signatures from PREVIOUS batches only: a crashed
-        // attempt may have left this batch's own store partition behind,
-        // and in-drop pairs are generated explicitly below
-        val oldBanded = readStore(spark, storeDir, k)
-          .filter(col("batch") =!= batchId).drop("batch")
-          .transform(Dedup.bandedSignatureKeys(_, k, bands))
-        val n = newBanded.select(col("band"), col("key"),
-          col("doc_id").as("id_n"), col("sig").as("sig_n"))
-        val o = oldBanded.select(col("band"), col("key"),
-          col("doc_id").as("id_o"), col("sig").as("sig_o"))
-        // new × store: either side may hold the smaller doc_id — normalize
-        val cross = n.join(o, Seq("band", "key"))
-          .select(
-            least(col("id_n"), col("id_o")).as("doc_a"),
-            greatest(col("id_n"), col("id_o")).as("doc_b"),
-            when(col("id_n") < col("id_o"), col("sig_n")).otherwise(col("sig_o")).as("sig_a"),
-            when(col("id_n") < col("id_o"), col("sig_o")).otherwise(col("sig_n")).as("sig_b"))
-        // new × new (docs arriving in the same drop)
-        val inDrop = n.join(
-          newBanded.select(col("band"), col("key"),
-            col("doc_id").as("doc_b"), col("sig").as("sig_b")),
-          Seq("band", "key"))
-          .filter(col("id_n") < col("doc_b"))
-          .select(col("id_n").as("doc_a"), col("doc_b"),
-            col("sig_n").as("sig_a"), col("sig_b"))
-        val pairs = Dedup.pairsFromCandidates(cross.unionByName(inDrop),
-          k, minEstJaccard)
-        // pairs first, then the store commit: a replay after a partial
-        // failure rewrites both partitions idempotently
-        pairs.write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
-        sigs.write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
-      } finally newBanded.unpersist()
-    } finally sigs.unpersist()
+      // the new drop's bucket set: bounded by construction (≤ KeyBuckets)
+      val kbs = newBanded.select("kb").distinct()
+        .collect().map(_.getInt(0)).toSeq
+      val oldBanded = prunedStore(spark, storeDir, k, kbs, excludeBatch = batchId)
+      val n = newBanded.select(col("band"), col("key"),
+        col("doc_id").as("id_n"), col("sig").as("sig_n"))
+      val o = oldBanded.select(col("band"), col("key"),
+        col("doc_id").as("id_o"), col("sig").as("sig_o"))
+      // new × store: either side may hold the smaller doc_id — normalize;
+      // id_n =!= id_o guards the doc_id-uniqueness assumption (see above)
+      val cross = n.join(o, Seq("band", "key"))
+        .filter(col("id_n") =!= col("id_o"))
+        .select(
+          least(col("id_n"), col("id_o")).as("doc_a"),
+          greatest(col("id_n"), col("id_o")).as("doc_b"),
+          when(col("id_n") < col("id_o"), col("sig_n")).otherwise(col("sig_o")).as("sig_a"),
+          when(col("id_n") < col("id_o"), col("sig_o")).otherwise(col("sig_n")).as("sig_b"))
+      // new × new (docs arriving in the same drop)
+      val inDrop = n.join(
+        newBanded.select(col("band"), col("key"),
+          col("doc_id").as("doc_b"), col("sig").as("sig_b")),
+        Seq("band", "key"))
+        .filter(col("id_n") < col("doc_b"))
+        .select(col("id_n").as("doc_a"), col("doc_b"),
+          col("sig_n").as("sig_a"), col("sig_b"))
+      val pairs = Dedup.pairsFromCandidates(cross.unionByName(inDrop),
+        k, minEstJaccard)
+      // pairs first, then the store commit: a replay after a partial
+      // failure rewrites both partitions idempotently
+      pairs.write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+      newBanded.write.partitionBy("kb")
+        .mode("overwrite").parquet(s"$storeDir/batch=$batchId")
+    } finally newBanded.unpersist(): Unit
   }
 
-  /** The committed signature store (with its `batch` partition column), or
-    * an empty table with the right shape before the first commit. */
-  private def readStore(spark: SparkSession, storeDir: String, k: Int): DataFrame =
-    try spark.read.parquet(storeDir)
-    catch {
-      case _: AnalysisException =>
-        spark.range(0).select(
-          (col("id").as("doc_id") +:
-            (0 until k).map(i => col("id").as(f"mh$i%02d"))) :+
-            lit(0L).as("batch"): _*)
-    }
+  /** The committed banded store restricted to PREVIOUS batches and to the
+    * given key buckets — the `kb` filter is a literal `isin` over a
+    * partition column, so the scan physically reads only the matching
+    * `kb=` directories (partition pruning; pinned by a StreamingSpec plan
+    * assertion). Returns an empty table with the right shape before the
+    * first commit. */
+  private[streaming] def prunedStore(spark: SparkSession, storeDir: String,
+                                     k: Int, kbs: Seq[Int],
+                                     excludeBatch: Long): DataFrame = {
+    val store =
+      try spark.read.parquet(storeDir)
+      catch {
+        case _: AnalysisException => // nothing committed yet
+          spark.range(0).select(
+            col("id").as("doc_id"),
+            array((0 until k).map(_ => col("id")): _*).as("sig"),
+            col("id").cast("int").as("band"),
+            col("id").cast("string").as("key"),
+            col("id").as("batch"),
+            col("id").cast("int").as("kb"))
+      }
+    // a crashed attempt may have left this batch's own store partition
+    // behind; exclude it — in-drop pairs are generated explicitly
+    store.filter(col("batch") =!= excludeBatch)
+      .filter(col("kb").isin(kbs: _*))
+      .drop("batch", "kb")
+  }
 }

@@ -86,6 +86,49 @@ class CrossImplSpec extends AnyFunSuite {
     assert(gotX6 == wantX6, s"x6: $gotX6 vs $wantX6")
   }
 
+  private lazy val x34Root = {
+    val in = getClass.getResourceAsStream("/graft/corpus_expected/x34_expected.json")
+    assert(in != null, "missing x34 resource — run tools/recompute_x34.py")
+    try mapper.readTree(in) finally in.close()
+  }
+
+  test("x4 golden verdicts match the independent Python recompute") {
+    val want = (0 until x34Root.get("x4").size()).map { i =>
+      val r = x34Root.get("x4").get(i)
+      (r.get(0).asText(), r.get(1).asBoolean(), r.get(2).asBoolean(),
+        r.get(3).asText())
+    }
+    val got = SparkEntry.queries("x4_golden_verdicts")(spark, "")
+      .collect()
+      .map(r => (r.getString(0), r.getBoolean(1), r.getBoolean(2),
+        r.getString(3))).toSeq
+    assert(got == want, s"x4: $got vs $want")
+  }
+
+  for ((sfDir, tag) <- Seq("/root/testdata/sf0.001" -> "sf0001",
+                           "/root/testdata/sf0.01" -> "sf001")) {
+    test(s"x3 partition metrics over $sfDir match the Python recompute " +
+      "(incl. the Murmur3 doc->partition assignment)") {
+      val arr = x34Root.get("x3").get(tag)
+      val want = (0 until arr.size()).map { i =>
+        val r = arr.get(i)
+        (r.get(0).asInt(), r.get(1).asText(), r.get(2).asText(),
+          r.get(3).asLong(), r.get(4).asLong(), r.get(5).asLong(),
+          r.get(6).asLong())
+      }
+      // wall_ms is kernel timing — excluded by design; everything else in
+      // the metric row (including which partition each doc landed in) is
+      // deterministic and recomputed independently
+      val got = SparkEntry.queries("x3_partition_metrics")(spark, sfDir)
+        .select("partition_id", "doc_id_min", "doc_id_max", "n_docs",
+          "n_pages", "n_spans", "n_failures")
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+      assert(got == want, s"x3($tag): $got vs $want")
+    }
+  }
+
   for ((sfDir, tag) <- Seq("/root/testdata/sf0.001" -> "sf0001",
                            "/root/testdata/sf0.01" -> "sf001")) {
     test(s"x1/x2 over $sfDir match the independent Python recompute span-for-span") {

@@ -29,6 +29,28 @@ class PipelineSpec extends AnyFunSuite {
     docs.unpersist()
   }
 
+  test("salted repartition occupies every partition with balanced load " +
+    "(no double-hash collapse)") {
+    // regression pin: repartition(P, pmod(hash+salt, P)) lets
+    // HashPartitioning RE-hash the pre-bucketed [0,P) value, collapsing
+    // the layout to ~(1-1/e)P occupied partitions with up to 4x hot bins
+    // (measured: 37/64 at the bench's P=64). The fixed full-range-hash
+    // expression must hit all P partitions with near-uniform load.
+    val docs = ExtractionPipeline.synthDocs(spark, 1024, seed = 9, parallelism = 4)
+    val loads = ExtractionPipeline.extract(docs,
+      ExtractionPipeline.Config(numPartitions = 8))
+      .groupByKey(_.partition_id)(org.apache.spark.sql.Encoders.scalaInt)
+      .mapGroups { (pid, it) => (pid, it.size) }(
+        org.apache.spark.sql.Encoders.product[(Int, Int)])
+      .collect().toMap
+    assert(loads.keySet == (0 until 8).toSet,
+      s"all 8 partitions must be occupied: $loads")
+    // binomial(1024, 1/8): mean 128, sd ~10.6 — 4 sd bounds are loose
+    // enough to be deterministic-stable yet catch any collapse/hot bin
+    assert(loads.values.forall(n => n > 85 && n < 171),
+      s"partition loads must be near-uniform: $loads")
+  }
+
   test("chunked (skew) path equals the single-pass kernel") {
     import spark.implicits._
     // force many docs down the chunk path with a tiny threshold

@@ -109,11 +109,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(incremental == batch,
       s"incremental (${incremental.size}) must equal batch (${batch.size})")
     // the second run hashed ONLY drop2: the store grew by exactly its docs
+    // (banded layout: one row per (doc, band) in its key's kb directory)
     val store2 = spark.read.parquet(store)
     assert(store2.select("batch").distinct().count() == 2)
-    assert(store2.count() ==
-      graft.ops.Dedup.minhashSignatures(docs).count(),
-      "store holds one signature row per hashable doc, no re-hashing")
+    val nSigs = graft.ops.Dedup.minhashSignatures(docs).count()
+    assert(store2.count() == nSigs * 4,
+      "store holds one banded row per (doc, band), no re-hashing")
+    assert(store2.select("doc_id").distinct().count() == nSigs)
+    // store rows live in the kb directory their key hashes into
+    assert(store2.filter(
+      col("kb") =!= graft.streaming.IncrementalDedup.keyBucket(col("key")))
+      .count() == 0, "kb partition dir must match pmod(hash(key), KeyBuckets)")
+
+    // kb partition pruning: a drop that only touches bucket `kb0` reads
+    // only that bucket's directories — the scan carries a partition filter
+    // on kb (pruning happens at the file listing, before any IO) and
+    // returns exactly the rows the full store holds for that bucket
+    val kb0 = store2.select("kb").limit(1).collect()(0).getInt(0)
+    val pruned = IncrementalDedup.prunedStore(spark, store, 16, Seq(kb0),
+      excludeBatch = 999L)
+    val planStr = pruned.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters"), planStr)
+    assert(planStr.matches("(?s).*PartitionFilters:\\s*\\[[^\\]]*kb[^\\]]*\\].*"),
+      s"kb must be a partition (pruning) filter, not a data filter:\n$planStr")
+    assert(pruned.count() == store2.filter(col("kb") === kb0).count())
   }
 
   test("mapGroupsWithState running totals accumulate per source") {
