@@ -79,14 +79,14 @@ object SparkEntry {
       // event_type (~5 distinct values), so at 100x corpus this is 5
       // single-task total sorts — faithful to SURVEY W1's sweep-line
       // semantics and oracle-pinned, but NOT the shape to run over a
-      // 100 TB fact table. The scale path is a chunked two-phase prefix
-      // sum: bucket by (event_type, time-chunk), compute in-chunk running
-      // peaks + chunk totals in a parallel keyed aggregation, then resolve
-      // cumulative offsets over the tiny (type x chunk) table and take
-      // max(offset + chunk_peak). It is kept OUT of this oracle-checked
-      // query on purpose: re-associating the double summation changes FP
-      // rounding at the 4th decimal in edge cases, which would break the
-      // bit-exact DuckDB lockstep this battery guarantees.
+      // 100 TB fact table. The scale path is IMPLEMENTED as
+      // ops/Windows.chunkedRunningPeak (chunked two-phase prefix sum whose
+      // parallelism grows with type x time-chunk; OpsSpec proves exact
+      // equivalence on integral values). It is kept OUT of this
+      // oracle-checked query on purpose: re-associating the double
+      // summation changes FP rounding at the 4th decimal in edge cases,
+      // which would break the bit-exact DuckDB lockstep this battery
+      // guarantees.
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -160,6 +160,28 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"banded recall on near-identical twins: $recall")
   }
 
+  test("chunked two-phase running peak ≡ single-window sweep line (W1 scale path)") {
+    import org.apache.spark.sql.expressions.Window
+    // integral values: the chunked decomposition re-associates the
+    // summation, which is exact for integers at any association — so
+    // equality here is exact, not tolerance-based
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("value", floor(col("value") * 100).cast("double"))
+    val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val baseline = events.withColumn("rs", sum("value").over(w))
+      .groupBy("event_type").agg(max("rs").as("peak"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // hour chunks: monotone in ts, so (chunk, in-chunk order) = global order
+    val chunked = Windows.chunkedRunningPeak(events,
+      date_trunc("hour", col("ts")))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(chunked == baseline, s"chunked $chunked vs window $baseline")
+    // the decomposition is real: multiple chunks per type were combined
+    val nChunks = events.select(date_trunc("hour", col("ts"))).distinct().count()
+    assert(nChunks > 1, "test data must span multiple chunks")
+  }
+
   test("duplicateClusters computes connected components with min-label keepers") {
     import SparkTestSessionImport.spark.implicits._
     // chain, pair, and a cycle — plus transitivity across the chain
