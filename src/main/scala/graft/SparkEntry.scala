@@ -49,7 +49,7 @@ object SparkEntry {
       // far inside double determinism.
       t(s, d, "lineitem").groupBy("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n_rows"),
-          round(sum(col("l_quantity").cast("decimal(18,6)")), 4)
+          round(sum(col("l_quantity").cast("decimal(12,2)")), 4)
             .cast("double").as("sum_qty"),
           round(avg("l_extendedprice"), 4).as("avg_price"))
         .orderBy("l_returnflag", "l_linestatus")
@@ -60,7 +60,7 @@ object SparkEntry {
         .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
         .agg(count(lit(1)).as("n_orders"),
-          round(sum(col("o_totalprice").cast("decimal(18,6)")), 4)
+          round(sum(col("o_totalprice").cast("decimal(12,2)")), 4)
             .cast("double").as("total_price"), // exact decimal sum: see q1
           round(avg("o_totalprice"), 4).as("avg_price"))
         .orderBy("n_name")
@@ -156,10 +156,15 @@ object SparkEntry {
         .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name")
         .agg(count(lit(1)).as("n_items"),
-          // exact decimal product+sum (see q1): decimal(18,6) operands →
-          // decimal(38,12) products, summed exactly, rounded, then double
-          round(sum(col("l_extendedprice").cast("decimal(18,6)") *
-            (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)"))), 4)
+          // exact decimal product+sum (see q1). Widths are chosen so the
+          // per-row arithmetic stays on Spark's LONG-backed Decimal fast
+          // path: the data is exactly 2-decimal, so (12,2)x(5,2) →
+          // decimal(18,4) products (precision ≤ 18 = no Int128 per row);
+          // only the per-group sum accumulator widens. Exactness is
+          // unaffected — every intermediate is an exact decimal in both
+          // engines regardless of declared width.
+          round(sum(col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)"))), 4)
             .cast("double").as("revenue"))
         .orderBy("r_name")
     }),
@@ -270,7 +275,12 @@ object SparkEntry {
     "d7_dup_clusters" -> ((s, d) =>
       // pairs → connected components → (doc, cluster keeper): what a
       // curation pipeline actually consumes; oracle = recursive CTE over
-      // the identical d4 pair graph
+      // the identical d4 pair graph. Two-tier operator: at driver sf the
+      // pair graph is tiny, so the declared-threshold union-find tier
+      // answers without iterative shuffle rounds; the distributed
+      // adaptive-pointer-jump tier (property-tested) engages when the
+      // pair table outgrows the driver — both produce identical output
+      // (equality-tested in OpsSpec).
       Dedup.duplicateClusters(
         Dedup.lshNearDupPairs(Dedup.minhashSignatures(t(s, d, "documents"))))
         .orderBy("doc_id")),
@@ -498,12 +508,12 @@ object SparkEntry {
       // side's decimal summation (double sums reassociate; see the q1
       // query comment)
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
-        | round(sum(CAST(l_quantity AS DECIMAL(18,6))),4)::DOUBLE AS sum_qty,
+        | round(sum(CAST(l_quantity AS DECIMAL(12,2))),4)::DOUBLE AS sum_qty,
         | round(avg(l_extendedprice),4) AS avg_price
         |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "q2_nation_order_stats" ->
       """SELECT n_name, count(*) AS n_orders,
-        | round(sum(CAST(o_totalprice AS DECIMAL(18,6))),4)::DOUBLE AS total_price,
+        | round(sum(CAST(o_totalprice AS DECIMAL(12,2))),4)::DOUBLE AS total_price,
         | round(avg(o_totalprice),4) AS avg_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
@@ -734,8 +744,8 @@ object SparkEntry {
         |ORDER BY nationkey""".stripMargin,
     "q12_region_revenue" ->
       """SELECT r_name, count(*) AS n_items,
-        | round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
-        |   * (1 - CAST(l_discount AS DECIMAL(18,6)))), 4)::DOUBLE AS revenue
+        | round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |   * (1 - CAST(l_discount AS DECIMAL(4,2)))), 4)::DOUBLE AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey

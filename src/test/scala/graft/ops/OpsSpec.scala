@@ -182,27 +182,52 @@ class OpsSpec extends AnyFunSuite {
     assert(nChunks > 1, "test data must span multiple chunks")
   }
 
-  test("duplicateClusters computes connected components with min-label keepers") {
+  test("duplicateClusters computes connected components with min-label keepers (both tiers)") {
     import SparkTestSessionImport.spark.implicits._
     // chain, pair, and a cycle — plus transitivity across the chain
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (22L, 20L))
       .toDF("doc_a", "doc_b")
-    val got = Dedup.duplicateClusters(pairs).collect()
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L)
+    // small-graph tier (driver union-find: the default path here)
+    val local = Dedup.duplicateClusters(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
-      20L -> 20L, 21L -> 20L, 22L -> 20L))
+    assert(local == want)
+    // distributed tier (forced via threshold 0)
+    val dist = Dedup.duplicateClusters(pairs, localSolveMaxPairs = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == want)
   }
 
   test("duplicateClusters pointer jumping: a 64-edge path converges in <= 12 rounds") {
     import SparkTestSessionImport.spark.implicits._
     // a path graph is the worst case for plain min-propagation (needs
     // diameter=64 rounds); label doubling must settle it in O(log d) — the
-    // maxIters=12 bound makes the require() the assertion
+    // maxIters=12 bound makes the require() the assertion. Threshold 0
+    // forces the distributed tier (the local tier would trivially absorb
+    // 64 pairs).
     val pairs = (0L until 64L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val got = Dedup.duplicateClusters(pairs, maxIters = 12).collect()
+    val got = Dedup.duplicateClusters(pairs, maxIters = 12,
+      localSolveMaxPairs = 0).collect()
       .map(r => r.getLong(0) -> r.getLong(1))
     assert(got.length == 65)
     assert(got.forall(_._2 == 0L), "every node labels to the path minimum")
+  }
+
+  test("duplicateClusters: local union-find tier ≡ distributed label tier on a random graph") {
+    import SparkTestSessionImport.spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // ~120 nodes, ~150 random edges: many non-trivial components
+    val pairs = (0 until 150).map { _ =>
+      val a = rnd.nextInt(120).toLong; val b = rnd.nextInt(120).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).toDF("doc_a", "doc_b")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = asMap(Dedup.duplicateClusters(pairs))
+    val dist = asMap(Dedup.duplicateClusters(pairs, localSolveMaxPairs = 0))
+    assert(local == dist, "the two tiers must partition identically")
+    assert(local.nonEmpty)
   }
 
   test("IVF ANN with trained k-means centers finds planted twins as top-1") {
