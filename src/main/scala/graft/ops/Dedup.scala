@@ -271,17 +271,23 @@ object Dedup {
     * collected and solved by driver-side union-find — exact, zero
     * iterative shuffle rounds, bounded by the declared threshold (the
     * same explicit-contract style as `cosineTopK`'s broadcast query
-    * side; 10⁶ pairs ≈ 16 MB on the driver). At 100 TB the LSH pair
+    * side; 2×10⁶ collected pair Rows ≈ 200 MB driver heap, well inside
+    * any real driver and sized so dup-clique blowups — e.g. replicated
+    * short docs — still resolve locally). At 100 TB the LSH pair
     * table runs to billions of rows, the count check fails, and the
     * distributed label loop engages. Both tiers produce identical output
     * (equality-tested), and the pairs input is persisted so the sizing
-    * count never re-executes the upstream pipeline.
+    * count never re-executes the upstream pipeline. Sessions should set
+    * `spark.sql.optimizer.canChangeCachedPlanOutputPartitioning=true`
+    * (graft sessions do): Spark otherwise compiles cached plans WITHOUT
+    * AQE, silently costing the persisted pair pipeline its adaptive
+    * join optimizations (measured 2.5x on the 10x corpus).
     *
     * Input: (doc_a, doc_b) candidate pairs. Output: (doc_id, cluster_id)
     * for every doc appearing in a pair. */
   def duplicateClusters(pairs: DataFrame, maxIters: Int = 30,
                         jumpFromRound: Int = 3,
-                        localSolveMaxPairs: Long = 1000000L): DataFrame = {
+                        localSolveMaxPairs: Long = 2000000L): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val p = pairs.select(col("doc_a"), col("doc_b"))
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -10,6 +10,9 @@ object SparkTestSession {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE inside cached plans (see Bench.session): persisted iterative
+      // operators (d7) must not lose AQE under their InMemoryRelation
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
