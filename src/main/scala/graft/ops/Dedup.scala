@@ -71,32 +71,58 @@ object Dedup {
     * (pairs with zero overlap are never materialized). Returns pairs with
     * jaccard ≥ `minJaccard`, doc_a < doc_b.
     *
-    * `maxDocFreq` is the scale guard on the self-join: the candidate count
-    * is Σ df(s)² over shingles, so one boilerplate shingle shared by 10⁶
-    * docs alone yields 10¹² join rows. Shingles with document frequency
-    * above the cap are dropped from candidate generation by an anti-join
-    * (they carry no discriminative signal — the same reason MinHashLSH
+    * `maxDocFreq` is the scale guard on candidate generation: the
+    * candidate count is Σ df(s)² over shingles, so one boilerplate
+    * shingle shared by 10⁶ docs alone yields 10¹² candidate rows.
+    * Shingles with document frequency above the cap are dropped (they
+    * carry no discriminative signal — the same reason MinHashLSH
     * implementations cap band sizes). `n_common` then counts only
     * non-ubiquitous shared shingles, so jaccard is a conservative
     * underestimate for boilerplate-heavy pairs; `n_a`/`n_b` stay the true
-    * distinct-shingle counts. The hot-shingle set is tiny by construction,
-    * so the anti-join broadcasts. */
+    * distinct-shingle counts.
+    *
+    * The capped path (the production configuration) generates candidates
+    * from ONE aggregation: groupBy(shingle) with a `collect_list` whose
+    * size the cap bounds, filter oversize lists, and explode in-list pair
+    * combinations (posexplode × suffix slice). That is one shuffle of the
+    * shingle rows and one execution of the shingle tokenizer — the
+    * previous self-join form shuffled the shingle rows three times
+    * (df-count, join side a, join side b) and tokenized every document
+    * three times (measured ~40% of d2's battery wall). Per-shingle work
+    * is ≤ cap²/2 pairs, so no skew. collect_list order is partition-
+    * nondeterministic, so pairs normalize to (least, greatest) — the
+    * unordered pair SET per shingle is order-invariant. The uncapped
+    * path keeps the self-join (an unbounded hot shingle would make
+    * collect_list a memory hazard). */
   def ngramJaccardPairs(docs: DataFrame, minJaccard: Double,
                         textCol: String = "text", n: Int = 3,
                         maxDocFreq: Int = Int.MaxValue): DataFrame = {
     val allRows = shingleRows(docs, textCol, n)
-    val rows =
-      if (maxDocFreq == Int.MaxValue) allRows
-      else {
-        val hot = allRows.groupBy("shingle").agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxDocFreq)
-          .select("shingle")
-        allRows.join(broadcast(hot), Seq("shingle"), "left_anti")
+    val candidates =
+      if (maxDocFreq == Int.MaxValue) {
+        val a = allRows.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"), col("shingle"))
+        val b = allRows.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"), col("shingle"))
+        a.join(b, Seq("shingle"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "n_a", "doc_b", "n_b")
+      } else {
+        val grouped = allRows
+          .groupBy("shingle")
+          .agg(collect_list(struct(col("doc_id"), col("n_sh"))).as("ds"))
+          .filter(size(col("ds")).between(2, maxDocFreq))
+        grouped
+          .select(col("ds"), posexplode(col("ds")))
+          .withColumn("other",
+            explode(slice(col("ds"), col("pos") + lit(2), lit(maxDocFreq))))
+          .select(
+            least(col("col.doc_id"), col("other.doc_id")).as("doc_a"),
+            when(col("col.doc_id") < col("other.doc_id"), col("col.n_sh"))
+              .otherwise(col("other.n_sh")).as("n_a"),
+            greatest(col("col.doc_id"), col("other.doc_id")).as("doc_b"),
+            when(col("col.doc_id") < col("other.doc_id"), col("other.n_sh"))
+              .otherwise(col("col.n_sh")).as("n_b"))
       }
-    val a = rows.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"), col("shingle"))
-    val b = rows.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"), col("shingle"))
-    a.join(b, Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
+    candidates
       .groupBy("doc_a", "doc_b", "n_a", "n_b")
       .agg(count(lit(1)).as("n_common"))
       .withColumn("jaccard",
