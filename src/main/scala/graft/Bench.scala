@@ -314,7 +314,9 @@ object Bench {
     val queryTimes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     var queryWall = 0.0
     // SPARK_GRAFT_BENCH_ONLY=d7_dup_clusters,d4_lsh_pairs — ad-hoc subset
-    // runs for isolating one query's cost; never set by the driver
+    // runs for isolating one query's cost; SPARK_GRAFT_BENCH_ONLY=none
+    // skips the battery entirely (scaling-only runs). Never set by the
+    // driver.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
     (1 to 2).foreach { _ =>
       SparkEntry.queries.toSeq.sortBy(_._1)

@@ -25,6 +25,21 @@ class OpsSpec extends AnyFunSuite {
       s"simhash should rediscover most jaccard dups: $overlap/${jacPairs.length}")
   }
 
+  test("d2 capped explode path ≡ uncapped self-join path when no shingle is hot") {
+    // the two candidate generators must agree exactly wherever the cap
+    // doesn't bite: max document frequency of any shingle in this corpus
+    // is far below 1000, so capped(1000) and uncapped see identical
+    // candidate sets — pins the collect_list+slice explosion against the
+    // reference self-join form
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val capped = canon(Dedup.ngramJaccardPairs(docs, minJaccard = 0.3, maxDocFreq = 1000))
+    val uncapped = canon(Dedup.ngramJaccardPairs(docs, minJaccard = 0.3))
+    assert(capped.nonEmpty)
+    assert(capped == uncapped)
+  }
+
   test("LSH candidates superset check: every high-jaccard pair appears in LSH pairs") {
     val sigs = Dedup.minhashSignatures(docs)
     val lsh = Dedup.lshNearDupPairs(sigs, minEstJaccard = 0.5).collect()
