@@ -122,6 +122,63 @@ object IncrementalDedup {
     } finally newBanded.unpersist(): Unit
   }
 
+  /** Compact the committed store: merge every batch directory with id ≤
+    * `throughBatch` — plus any older compacted base — into a single
+    * kb-partitioned base directory `batch=-(throughBatch+1)`, then delete
+    * the merged sources. Nightly drops otherwise accumulate one directory
+    * per micro-batch forever; at 100 TB that is millions of small files
+    * and a per-drop listing cost that grows without bound.
+    *
+    * Compacted bases use NEGATIVE batch ids (streaming batch ids are
+    * ≥ 0, so they can never collide with a future drop, and the
+    * `batch =!= currentBatchId` exclusion in [[processBatch]] is
+    * unaffected); the id −(k+1) encodes "covers everything through k",
+    * which makes recovery decidable from the directory listing alone.
+    *
+    * Crash-safe by ADD-THEN-DELETE, with the invariants doing the work:
+    *  1. the merged base is written (keyed-deduplicated on (doc_id, band))
+    *     BEFORE any source directory is deleted. A crash in between
+    *     leaves the store with duplicated rows — harmless, because every
+    *     consumer joins candidates through `pairsFromCandidates`, whose
+    *     trailing `distinct()` absorbs duplicate candidates; no window
+    *     ever exists where committed signatures are missing.
+    *  2. re-running `compactStore` is idempotent: if the target base
+    *     already exists it skips the write and only finishes the
+    *     deletions — exactly the recovery a crashed step 2 needs.
+    * Run it between drops (the store has a single writer by contract —
+    * the AvailableNow runner). */
+  def compactStore(spark: SparkSession, storeDir: String,
+                   throughBatch: Long): Unit = {
+    require(throughBatch >= 0, s"throughBatch must be >= 0, got $throughBatch")
+    val root = new java.io.File(storeDir)
+    if (!root.isDirectory) return
+    def batchDirs: Map[Long, java.io.File] =
+      Option(root.listFiles).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+        .map(f => f.getName.stripPrefix("batch=").toLong -> f).toMap
+    val targetId = -(throughBatch + 1)
+    val mergeable = batchDirs.keySet
+      .filter(b => b != targetId && (b < 0 || b <= throughBatch))
+    if (mergeable.isEmpty) return
+    if (!batchDirs.contains(targetId)) {
+      // plan-time file listing: the base being written below is not part
+      // of the read, and no source dir is touched until the write commits
+      spark.read.parquet(storeDir)
+        .filter(col("batch") <= throughBatch) // negatives included: < 0 ≤ through
+        .drop("batch")
+        .dropDuplicates("doc_id", "band") // absorb a crashed prior add-phase
+        .write.partitionBy("kb")
+        .mode("overwrite").parquet(s"$storeDir/batch=$targetId")
+    }
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles).getOrElse(Array.empty[java.io.File]).foreach(rm)
+      f.delete(): Unit
+    }
+    val dirs = batchDirs
+    mergeable.foreach(b => dirs.get(b).foreach(rm))
+  }
+
   /** The committed banded store restricted to PREVIOUS batches and to the
     * given key buckets — the `kb` filter is a literal `isin` over a
     * partition column, so the scan physically reads only the matching

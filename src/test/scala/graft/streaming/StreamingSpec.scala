@@ -135,6 +135,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(pruned.count() == store2.filter(col("kb") === kb0).count())
   }
 
+  test("store compaction between drops: merged base, idempotent recovery, incremental ≡ batch") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val in = s"$base/in"; val store = s"$base/store"
+    val pairs = s"$base/pairs"; val cp = s"$base/cp"
+    def drop(i: Int): Unit = {
+      docs.filter(col("doc_id") % 3 === i).write.mode("append").parquet(in)
+      IncrementalDedup.run(spark, in, store, pairs, cp).awaitTermination()
+    }
+    def dirIds = new java.io.File(store).listFiles
+      .filter(_.getName.startsWith("batch=")).map(_.getName.stripPrefix("batch=").toLong)
+      .toSet
+    drop(0); drop(1)
+    IncrementalDedup.compactStore(spark, store, throughBatch = 1)
+    assert(dirIds == Set(-2L), s"batches 0,1 merged into the -2 base: $dirIds")
+    // the base carries every committed signature row, kb layout intact
+    val compacted = spark.read.parquet(store)
+    assert(compacted.filter(
+      col("kb") =!= IncrementalDedup.keyBucket(col("key"))).count() == 0)
+    // a third drop joins against the compacted base + finds cross-drop pairs
+    drop(2)
+    assert(dirIds == Set(-2L, 2L))
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_a", "doc_b", "est_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val batch = canon(graft.ops.Dedup.lshNearDupPairs(
+      graft.ops.Dedup.minhashSignatures(docs)))
+    assert(canon(spark.read.parquet(pairs)) == batch,
+      "compaction must not change the incremental ≡ batch equivalence")
+    // crash recovery: duplicate the base into a fake leftover source dir
+    // (the state an add-phase crash leaves), re-compact — the keyed dedup
+    // absorbs the duplicates and the leftover is deleted
+    def cp_r(src: java.io.File, dst: java.io.File): Unit = {
+      if (src.isDirectory) { dst.mkdirs()
+        src.listFiles.foreach(f => cp_r(f, new java.io.File(dst, f.getName))) }
+      else java.nio.file.Files.copy(src.toPath, dst.toPath): Unit
+    }
+    cp_r(new java.io.File(s"$store/batch=-2"), new java.io.File(s"$store/batch=0"))
+    val nRows = spark.read.parquet(store).drop("batch")
+      .dropDuplicates("doc_id", "band").count()
+    IncrementalDedup.compactStore(spark, store, throughBatch = 2)
+    assert(dirIds == Set(-3L), s"full compaction leaves only the -3 base: $dirIds")
+    assert(spark.read.parquet(store).count() == nRows,
+      "keyed dedup absorbs the crash-duplicated rows")
+    // idempotent: a second run is a no-op
+    IncrementalDedup.compactStore(spark, store, throughBatch = 2)
+    assert(dirIds == Set(-3L))
+  }
+
   test("mapGroupsWithState running totals accumulate per source") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
