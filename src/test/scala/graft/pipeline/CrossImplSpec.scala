@@ -12,7 +12,8 @@ import org.scalatest.funsuite.AnyFunSuite
   * same interleaved corpus from documents.parquet and re-runs the whole
   * extraction semantics in pure Python, writing the expected span dump
   * (text as md5) and kind histogram as test resources. The Spark engine
-  * must reproduce them bit-for-bit over BOTH driver testdata scales — the
+  * must reproduce them bit-for-bit over ALL THREE driver testdata scales
+  * (sf0.001/sf0.01/sf0.1, the last being the bench scale) — the
   * same golden-comparison discipline as the 6 transcribed reference
   * fixtures, extended from fixtures to real corpus input (reference
   * analogue: benchmark/extraction_utils.py:138-233).
@@ -106,7 +107,8 @@ class CrossImplSpec extends AnyFunSuite {
   }
 
   for ((sfDir, tag) <- Seq("/root/testdata/sf0.001" -> "sf0001",
-                           "/root/testdata/sf0.01" -> "sf001")) {
+                           "/root/testdata/sf0.01" -> "sf001",
+                           "/root/testdata/sf0.1" -> "sf01")) {
     test(s"x3 partition metrics over $sfDir match the Python recompute " +
       "(incl. the Murmur3 doc->partition assignment)") {
       val arr = x34Root.get("x3").get(tag)
@@ -130,7 +132,8 @@ class CrossImplSpec extends AnyFunSuite {
   }
 
   for ((sfDir, tag) <- Seq("/root/testdata/sf0.001" -> "sf0001",
-                           "/root/testdata/sf0.01" -> "sf001")) {
+                           "/root/testdata/sf0.01" -> "sf001",
+                           "/root/testdata/sf0.1" -> "sf01")) {
     test(s"x1/x2 over $sfDir match the independent Python recompute span-for-span") {
       val (wantHist, wantSpans) = expected(tag)
 

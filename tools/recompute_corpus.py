@@ -954,7 +954,7 @@ def main():
         os.path.abspath(__file__))),
         'src/test/resources/graft/corpus_expected')
     os.makedirs(out_dir, exist_ok=True)
-    for sf in ('sf0.001', 'sf0.01'):
+    for sf in ('sf0.001', 'sf0.01', 'sf0.1'):
         path = '/root/testdata/%s/documents.parquet' % sf
         rows = duckdb.connect().execute(
             "SELECT doc_id, text, lang, source, n_chars FROM '%s' "

@@ -4,9 +4,9 @@
 x3_partition_metrics: recomputes, in pure Python, the per-partition lineage
 rollup that graft.pipeline.ExtractionPipeline.partitionMetrics produces —
 including the doc -> partition assignment itself. Spark's salted
-repartition is `repartition(8, pmod(hash(doc_id) + salt, 8))`, which
+repartition is `repartition(8, hash(doc_id) + salt)` (full-range), which
 physically routes each row by HashPartitioning's partition-id expression
-`pmod(murmur3(saltedBucket), 8)` over the *expression value*; both Murmur3
+`pmod(murmur3(exprValue), 8)` over the *expression value*; both Murmur3
 layers (Spark's Murmur3_x86_32 variant with seed 42: 4-byte little-endian
 words, sign-extended single-byte tail mixing, int re-hash) are
 reimplemented here and validated against `org.apache.spark.sql.functions
@@ -177,7 +177,7 @@ def main():
     os.makedirs(out_dir, exist_ok=True)
     result = {
         'x3': {sf.replace('.', ''): x3_rows(sf)
-               for sf in ('sf0.001', 'sf0.01')},
+               for sf in ('sf0.001', 'sf0.01', 'sf0.1')},
         'x4': x4_rows(),
     }
     path = os.path.join(out_dir, 'x34_expected.json')
