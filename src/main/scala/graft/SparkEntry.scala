@@ -280,9 +280,13 @@ object SparkEntry {
       // answers without iterative shuffle rounds; the distributed
       // adaptive-pointer-jump tier (property-tested) engages when the
       // pair table outgrows the driver — both produce identical output
-      // (equality-tested in OpsSpec).
+      // (equality-tested in OpsSpec). SPARK_GRAFT_D7_LOCAL_MAX overrides
+      // the tier threshold for scale batteries (=0 forces the distributed
+      // tier, the configuration a 100 TB corpus would run).
       Dedup.duplicateClusters(
-        Dedup.lshNearDupPairs(Dedup.minhashSignatures(t(s, d, "documents"))))
+        Dedup.lshNearDupPairs(Dedup.minhashSignatures(t(s, d, "documents"))),
+        localSolveMaxPairs = sys.env.get("SPARK_GRAFT_D7_LOCAL_MAX")
+          .map(_.toLong).getOrElse(2000000L))
         .orderBy("doc_id")),
     "c1_curation" -> ((s, d) => {
       // composite curation pipeline: quality gate ∧ language gate ∧

@@ -197,6 +197,31 @@ class OpsSpec extends AnyFunSuite {
     assert(nChunks > 1, "test data must span multiple chunks")
   }
 
+  test("chunked running peak property: random integer series, random chunk widths") {
+    import SparkTestSessionImport.spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7)
+    // 400 rows, 3 types, duplicate timestamps included (ties broken by id),
+    // signed integral values so peaks move up AND down
+    val rows = (0 until 400).map { i =>
+      (s"t${rnd.nextInt(3)}", rnd.nextInt(50).toLong, i.toLong,
+        (rnd.nextInt(21) - 10).toDouble)
+    }
+    val df = rows.toDF("event_type", "ts", "event_id", "value")
+    val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.withColumn("rs", sum("value").over(w))
+      .groupBy("event_type").agg(max("rs").as("peak"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // chunk widths from degenerate (one giant chunk) to per-row
+    for (width <- Seq(1, 3, 7, 50)) {
+      val got = Windows.chunkedRunningPeak(df, floor(col("ts") / width),
+        ts = "ts", tie = "event_id")
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(got == want, s"chunk width $width: $got vs $want")
+    }
+  }
+
   test("duplicateClusters computes connected components with min-label keepers (both tiers)") {
     import SparkTestSessionImport.spark.implicits._
     // chain, pair, and a cycle — plus transitivity across the chain
