@@ -309,6 +309,30 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), round(avg("n_chars"), 6).as("avg_chars"))
         .orderBy("source")
     }),
+    "c2_semantic_curation" -> ((s, d) => {
+      // semantic (embedding-space) curation composite: banded-LSH near-dup
+      // pairs → connected components → drop every non-keeper (cluster id =
+      // min vec_id doubles as the keeper), roll up the surviving docs per
+      // source. Chains three production operators end-to-end the way a
+      // semantic-dedup pass actually runs. Scale shape: pairs from banded
+      // equi-joins only; the cluster non-keeper set is a tiny anti-join
+      // side (broadcast); the embedding-coverage semi-join shuffles ids
+      // only. Oracle = d5's pair CTE + a recursive-CTE component labeling
+      // (same lockstep-by-construction pattern as d7).
+      val emb = t(s, d, "embeddings")
+      val pairs = Dedup.embeddingNearDupsBanded(emb, minCosine = 0.45,
+        bitsPerBand = 4)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      val nonKeepers = Dedup.duplicateClusters(pairs)
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select("doc_id")
+      t(s, d, "documents")
+        .join(emb.select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_semi")
+        .join(nonKeepers, Seq("doc_id"), "left_anti")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), round(avg("n_chars"), 6).as("avg_chars"))
+        .orderBy("source")
+    }),
     // ---- similarity search ----
     "s1_cosine_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -493,6 +517,23 @@ object SparkEntry {
            |  SELECT e.dst, r.label FROM reach r JOIN edges e ON r.doc_id = e.src)
            |SELECT doc_id, min(label) AS cluster_id
            |FROM reach GROUP BY 1 ORDER BY doc_id""".stripMargin,
+      "c2_semantic_curation" ->
+        s"""WITH RECURSIVE pairs AS (
+           |${base("d5_embedding_neardup")}),
+           |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+           |  UNION ALL SELECT id_b, id_a FROM pairs),
+           |nodes AS (SELECT DISTINCT src AS vec_id FROM edges),
+           |reach(vec_id, label) AS (
+           |  SELECT vec_id, vec_id FROM nodes
+           |  UNION
+           |  SELECT e.dst, r.label FROM reach r JOIN edges e ON r.vec_id = e.src),
+           |clusters AS (SELECT vec_id, min(label) AS cluster_id FROM reach GROUP BY 1),
+           |nonkeep AS (SELECT vec_id FROM clusters WHERE vec_id <> cluster_id)
+           |SELECT source, count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars
+           |FROM documents d
+           |JOIN embeddings e ON d.doc_id = e.vec_id
+           |WHERE d.doc_id NOT IN (SELECT vec_id FROM nonkeep)
+           |GROUP BY 1 ORDER BY 1""".stripMargin,
       "c1_curation" ->
         s"""WITH q AS (SELECT doc_id FROM (
            |${base("t2_quality")}) WHERE quality_label = 'ok'),
