@@ -20,6 +20,19 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** bitsPerBand for the embedding-LSH queries (d5, c2): PINNED to 4 — the
+    * oracle twins' literal constant — so the oracle-checked queries stay in
+    * lockstep at every sf. Scale batteries opt into the corpus-sized
+    * `autoBitsPerBand` knob via SPARK_GRAFT_D5_BITS=auto (or an explicit
+    * bit count), which also keeps the sizing count() out of the bench's
+    * timed region for the oracle path. */
+  private def embLshBits(emb: DataFrame): Int =
+    sys.env.get("SPARK_GRAFT_D5_BITS") match {
+      case Some("auto")          => Dedup.autoBitsPerBand(emb.count())
+      case Some(n) if n.nonEmpty => n.toInt
+      case _                     => 4
+    }
+
   /** Flagship: full extraction over the golden fixtures + the sf0.001
     * documents-derived corpus, exploded to spans. */
   def entry(spark: SparkSession): DataFrame = {
@@ -251,22 +264,12 @@ object SparkEntry {
       // banded sign-projection LSH (equi-join per band) — the scale-safe
       // production operator; the oracle reproduces the identical bucketing
       // from the same hyperplane literals, so results hash-match exactly.
-      // bitsPerBand is PINNED to 4 = the oracle's literal constant: the
-      // oracle-checked query and its twin must stay in lockstep at every
-      // sf (sf0.1 has 2000 embeddings, where the auto knob would pick 5
-      // and silently diverge from the 4-bit oracle). The corpus-sized
-      // `autoBitsPerBand` knob is reserved for non-oracle scale runs:
-      // scale-confidence batteries (10x corpus and beyond) set
-      // SPARK_GRAFT_D5_BITS=auto (or an explicit bit count), which also
-      // keeps the sizing count() out of the bench's timed region for the
-      // oracle path.
+      // bitsPerBand pinned to the oracle constant via embLshBits (sf0.1
+      // has 2000 embeddings, where the auto knob would pick 5 and
+      // silently diverge from the 4-bit oracle).
       val emb = t(s, d, "embeddings")
-      val bits = sys.env.get("SPARK_GRAFT_D5_BITS") match {
-        case Some("auto")            => Dedup.autoBitsPerBand(emb.count())
-        case Some(n) if n.nonEmpty   => n.toInt
-        case _                       => 4
-      }
-      Dedup.embeddingNearDupsBanded(emb, minCosine = 0.45, bitsPerBand = bits)
+      Dedup.embeddingNearDupsBanded(emb, minCosine = 0.45,
+        bitsPerBand = embLshBits(emb))
         .orderBy("id_a", "id_b")
     }),
     "d6_simhash_pairs" -> ((s, d) =>
@@ -321,7 +324,7 @@ object SparkEntry {
       // (same lockstep-by-construction pattern as d7).
       val emb = t(s, d, "embeddings")
       val pairs = Dedup.embeddingNearDupsBanded(emb, minCosine = 0.45,
-        bitsPerBand = 4)
+        bitsPerBand = embLshBits(emb))
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
       val nonKeepers = Dedup.duplicateClusters(pairs)
         .filter(col("doc_id") =!= col("cluster_id"))
