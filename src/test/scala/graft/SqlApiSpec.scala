@@ -9,6 +9,22 @@ class SqlApiSpec extends AnyFunSuite {
 
   private lazy val spark = { val s = SparkTestSession.spark; SqlApi.registerAll(s); s }
 
+  test("driver contract: oracle keys pair with query keys; only x-series lack oracles") {
+    val q = graft.SparkEntry.queries.keySet
+    val o = graft.SparkEntry.oracleSql.keySet
+    assert(o.subsetOf(q),
+      s"oracle entries without a query (dead oracle rows): ${o -- q}")
+    // every non-oracle query must be an x-series entry (kernel-bound,
+    // pinned by the Python cross-implementation instead) — anything else
+    // would silently downgrade to the driver's weaker rows-only check
+    val noOracle = q -- o
+    assert(noOracle.forall(_.startsWith("x")),
+      s"non-x queries missing a DuckDB oracle: ${noOracle.filterNot(_.startsWith("x"))}")
+    assert(noOracle == Set("x1_extract_spans", "x2_kind_histogram",
+      "x3_partition_metrics", "x4_golden_verdicts", "x5_field_outcomes",
+      "x6_field_scores"))
+  }
+
   test("extract_spans via spark.sql equals the typed extraction pipeline") {
     import spark.implicits._
     val docs = ExtractionPipeline.synthDocs(spark, 30, seed = 17, parallelism = 2)
