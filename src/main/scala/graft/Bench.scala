@@ -240,9 +240,16 @@ object Bench {
         // enough clean pairs to be meaningful
         val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "9").toInt
         val maxExtra = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_EXTRA", "4").toInt
+        // hard wall-clock cap on the scaling phase: replacement pairs must
+        // not be able to push the whole bench past an external runner's
+        // timeout — a bounded record with a couple of noise pairs beats a
+        // killed run with none. 9 planned pairs cost ~360 s incl. warmups;
+        // the cap only bites when noise already forced extras.
+        val maxScaleSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_SCALE_SEC", "420").toInt
         (1 to 2).foreach { _ => loW.warmup(); hiW.warmup() } // C2 compilation
         var i = 0
-        while ((i < passes || validIdx.size < passes) && i < passes + maxExtra) {
+        while ((i < passes || validIdx.size < passes) && i < passes + maxExtra &&
+               (i < passes || (System.nanoTime() - tScale0) / 1e9 < maxScaleSec)) {
           val lo = loW.pass()
           val hi = hiW.pass()
           allPairs += ((lo, hi))
