@@ -143,8 +143,11 @@ object IncrementalDedup {
     *     trailing `distinct()` absorbs duplicate candidates; no window
     *     ever exists where committed signatures are missing.
     *  2. re-running `compactStore` is idempotent: if the target base
-    *     already exists it skips the write and only finishes the
-    *     deletions — exactly the recovery a crashed step 2 needs.
+    *     exists WITH its `_SUCCESS` job-commit marker it skips the write
+    *     and only finishes the deletions — exactly the recovery a crashed
+    *     step 2 needs; a marker-less target is a crashed partial write
+    *     and is deleted and rewritten (its sources are still intact,
+    *     because deletions only ever happen after a committed write).
     * Run it between drops (the store has a single writer by contract —
     * the AvailableNow runner). */
   def compactStore(spark: SparkSession, storeDir: String,
@@ -160,7 +163,18 @@ object IncrementalDedup {
     val mergeable = batchDirs.keySet
       .filter(b => b != targetId && (b < 0 || b <= throughBatch))
     if (mergeable.isEmpty) return
-    if (!batchDirs.contains(targetId)) {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles).getOrElse(Array.empty[java.io.File]).foreach(rm)
+      f.delete(): Unit
+    }
+    // a target dir WITHOUT the _SUCCESS job-commit marker is a crashed
+    // partial write — trusting it and deleting the sources would lose
+    // data; delete the partial and rewrite instead
+    val targetComplete = batchDirs.contains(targetId) &&
+      new java.io.File(batchDirs(targetId), "_SUCCESS").isFile
+    if (batchDirs.contains(targetId) && !targetComplete) rm(batchDirs(targetId))
+    if (!targetComplete) {
       // plan-time file listing: the base being written below is not part
       // of the read, and no source dir is touched until the write commits
       spark.read.parquet(storeDir)
@@ -169,11 +183,6 @@ object IncrementalDedup {
         .dropDuplicates("doc_id", "band") // absorb a crashed prior add-phase
         .write.partitionBy("kb")
         .mode("overwrite").parquet(s"$storeDir/batch=$targetId")
-    }
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory)
-        Option(f.listFiles).getOrElse(Array.empty[java.io.File]).foreach(rm)
-      f.delete(): Unit
     }
     val dirs = batchDirs
     mergeable.foreach(b => dirs.get(b).foreach(rm))

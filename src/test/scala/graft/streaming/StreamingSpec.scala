@@ -177,6 +177,13 @@ class StreamingSpec extends AnyFunSuite {
     cp_r(new java.io.File(s"$store/batch=-2"), new java.io.File(s"$store/batch=0"))
     val nRows = spark.read.parquet(store).drop("batch")
       .dropDuplicates("doc_id", "band").count()
+    // and a crashed PARTIAL target (no _SUCCESS job-commit marker): it
+    // must be treated as garbage and rewritten, never trusted — trusting
+    // it would delete the sources and lose committed signatures
+    val partial = new java.io.File(s"$store/batch=-3/kb=0")
+    partial.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(partial, "part-junk.parquet").toPath, "not parquet")
     IncrementalDedup.compactStore(spark, store, throughBatch = 2)
     assert(dirIds == Set(-3L), s"full compaction leaves only the -3 base: $dirIds")
     assert(spark.read.parquet(store).count() == nRows,
