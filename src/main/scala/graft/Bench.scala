@@ -273,8 +273,14 @@ object Bench {
     // +2 s bubble costs a 6 s pass 33% but a 22 s pass 9%, so the pair
     // ratio degrades whenever the high level is hit.
     val keep = validIdx
-    val pairs = keep.map(allPairs)
-    val discarded = allPairs.size - pairs.size
+    // degenerate guard: under perfectly anti-correlated noise every pair
+    // can end up flagged (each inflated on one side relative to the other
+    // pairs' minima) — per-pair stats are garbage in that regime, but the
+    // run must still emit its record (the min-wall headline is unaffected),
+    // so fall back to the unfiltered pairs rather than crash on empty stats
+    val pairs = if (keep.nonEmpty) keep.map(allPairs)
+                else allPairs.toSeq
+    val discarded = allPairs.size - (if (keep.nonEmpty) keep.size else allPairs.size)
     val (nPages, nDocs, nSpans) =
       if (allPairs.isEmpty) (0L, 0L, 0L)
       else (allPairs.head._1._2, allPairs.head._1._3, allPairs.head._1._4)

@@ -33,6 +33,15 @@ object SparkEntry {
       case _                     => 4
     }
 
+  /** Clustering tier threshold for the d7/c2 queries: default 2×10⁶ pairs
+    * (the operator default); SPARK_GRAFT_D7_LOCAL_MAX overrides for scale
+    * batteries (=0 forces the distributed adaptive-jump tier — the
+    * configuration a 100 TB corpus would run) in BOTH queries, so a
+    * forced-distributed battery never silently measures the driver
+    * union-find in one of them. */
+  private def d7LocalMax: Long =
+    sys.env.get("SPARK_GRAFT_D7_LOCAL_MAX").map(_.toLong).getOrElse(2000000L)
+
   /** Flagship: full extraction over the golden fixtures + the sf0.001
     * documents-derived corpus, exploded to spans. */
   def entry(spark: SparkSession): DataFrame = {
@@ -288,8 +297,7 @@ object SparkEntry {
       // tier, the configuration a 100 TB corpus would run).
       Dedup.duplicateClusters(
         Dedup.lshNearDupPairs(Dedup.minhashSignatures(t(s, d, "documents"))),
-        localSolveMaxPairs = sys.env.get("SPARK_GRAFT_D7_LOCAL_MAX")
-          .map(_.toLong).getOrElse(2000000L))
+        localSolveMaxPairs = d7LocalMax)
         .orderBy("doc_id")),
     "c1_curation" -> ((s, d) => {
       // composite curation pipeline: quality gate ∧ language gate ∧
@@ -326,7 +334,8 @@ object SparkEntry {
       val pairs = Dedup.embeddingNearDupsBanded(emb, minCosine = 0.45,
         bitsPerBand = embLshBits(emb))
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
-      val nonKeepers = Dedup.duplicateClusters(pairs)
+      val nonKeepers = Dedup.duplicateClusters(pairs,
+        localSolveMaxPairs = d7LocalMax)
         .filter(col("doc_id") =!= col("cluster_id"))
         .select("doc_id")
       t(s, d, "documents")

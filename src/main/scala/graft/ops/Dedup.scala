@@ -82,18 +82,23 @@ object Dedup {
     * distinct-shingle counts.
     *
     * The capped path (the production configuration) generates candidates
-    * from ONE aggregation: groupBy(shingle) with a `collect_list` whose
-    * size the cap bounds, filter oversize lists, and explode in-list pair
-    * combinations (posexplode × suffix slice). That is one shuffle of the
-    * shingle rows and one execution of the shingle tokenizer — the
-    * previous self-join form shuffled the shingle rows three times
-    * (df-count, join side a, join side b) and tokenized every document
-    * three times (measured ~40% of d2's battery wall). Per-shingle work
-    * is ≤ cap²/2 pairs, so no skew. collect_list order is partition-
+    * from ONE heavy aggregation: drop hot shingles, then groupBy(shingle)
+    * with a `collect_list` — bounded by the cap, because hot shingles
+    * were already removed — and explode in-list pair combinations
+    * (posexplode × suffix slice). The hot-shingle removal happens BEFORE
+    * the aggregation via a df-count pre-pass + broadcast anti-join: the
+    * pre-pass is map-side combinable, so it shuffles only per-partition
+    * (shingle, count) partials, never the rows — filtering oversize
+    * lists AFTER a collect_list would build an unbounded aggregation
+    * buffer for exactly the 10⁶-doc boilerplate shingle the cap exists
+    * to guard against. Net vs the previous self-join form: the full
+    * shingle rows shuffle once instead of twice (join sides a and b) and
+    * the pair candidates materialize once, with per-shingle work ≤
+    * cap²/2 pairs (no skew). collect_list order is partition-
     * nondeterministic, so pairs normalize to (least, greatest) — the
     * unordered pair SET per shingle is order-invariant. The uncapped
-    * path keeps the self-join (an unbounded hot shingle would make
-    * collect_list a memory hazard). */
+    * path keeps the self-join (an unbounded shingle would make
+    * collect_list a memory hazard there). */
   def ngramJaccardPairs(docs: DataFrame, minJaccard: Double,
                         textCol: String = "text", n: Int = 3,
                         maxDocFreq: Int = Int.MaxValue): DataFrame = {
@@ -106,10 +111,14 @@ object Dedup {
           .filter(col("doc_a") < col("doc_b"))
           .select("doc_a", "n_a", "doc_b", "n_b")
       } else {
+        val hot = allRows.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDocFreq)
+          .select("shingle")
         val grouped = allRows
+          .join(broadcast(hot), Seq("shingle"), "left_anti")
           .groupBy("shingle")
           .agg(collect_list(struct(col("doc_id"), col("n_sh"))).as("ds"))
-          .filter(size(col("ds")).between(2, maxDocFreq))
+          .filter(size(col("ds")) >= 2)
         grouped
           .select(col("ds"), posexplode(col("ds")))
           .withColumn("other",

@@ -152,28 +152,33 @@ object IncrementalDedup {
     * the AvailableNow runner). */
   def compactStore(spark: SparkSession, storeDir: String,
                    throughBatch: Long): Unit = {
+    import org.apache.hadoop.fs.Path
     require(throughBatch >= 0, s"throughBatch must be >= 0, got $throughBatch")
-    val root = new java.io.File(storeDir)
-    if (!root.isDirectory) return
-    def batchDirs: Map[Long, java.io.File] =
-      Option(root.listFiles).getOrElse(Array.empty[java.io.File])
-        .filter(f => f.isDirectory && f.getName.startsWith("batch="))
-        .map(f => f.getName.stripPrefix("batch=").toLong -> f).toMap
+    // Hadoop FileSystem, not java.io.File: processBatch writes through
+    // Spark's Hadoop path layer, so the store may live behind any
+    // supported scheme (file:/ URI, hdfs://, s3a://) — a java.io listing
+    // would silently no-op on every one of those and the batch
+    // directories would accumulate forever
+    val root = new Path(storeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    def batchDirs: Map[Long, Path] =
+      fs.listStatus(root)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+        .map(st => st.getPath.getName.stripPrefix("batch=").toLong -> st.getPath)
+        .toMap
     val targetId = -(throughBatch + 1)
     val mergeable = batchDirs.keySet
       .filter(b => b != targetId && (b < 0 || b <= throughBatch))
     if (mergeable.isEmpty) return
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory)
-        Option(f.listFiles).getOrElse(Array.empty[java.io.File]).foreach(rm)
-      f.delete(): Unit
-    }
     // a target dir WITHOUT the _SUCCESS job-commit marker is a crashed
     // partial write — trusting it and deleting the sources would lose
-    // data; delete the partial and rewrite instead
+    // data; delete the partial and rewrite instead (sources are still
+    // intact, because deletions only ever follow a committed write)
     val targetComplete = batchDirs.contains(targetId) &&
-      new java.io.File(batchDirs(targetId), "_SUCCESS").isFile
-    if (batchDirs.contains(targetId) && !targetComplete) rm(batchDirs(targetId))
+      fs.exists(new Path(batchDirs(targetId), "_SUCCESS"))
+    if (batchDirs.contains(targetId) && !targetComplete)
+      fs.delete(batchDirs(targetId), true): Unit
     if (!targetComplete) {
       // plan-time file listing: the base being written below is not part
       // of the read, and no source dir is touched until the write commits
@@ -185,7 +190,7 @@ object IncrementalDedup {
         .mode("overwrite").parquet(s"$storeDir/batch=$targetId")
     }
     val dirs = batchDirs
-    mergeable.foreach(b => dirs.get(b).foreach(rm))
+    mergeable.foreach(b => dirs.get(b).foreach(p => fs.delete(p, true): Unit))
   }
 
   /** The committed banded store restricted to PREVIOUS batches and to the
