@@ -355,7 +355,10 @@ object Bench {
 
     def f(d: Double) = "%.4f".format(d)
     val extras =
-      if (skipScaling) Seq(""""scaling_skipped":true""")
+      // allPairs can be empty without skipScaling (SPARK_GRAFT_BENCH_PASSES=0):
+      // emit the skipped marker instead of crashing on median(empty) after
+      // the whole query battery already ran
+      if (skipScaling || allPairs.isEmpty) Seq(""""scaling_skipped":true""")
       else Seq(
         s""""extract_wall_sec_n$nLo":${f(wallLo)}""",
         s""""extract_wall_sec_n$nHi":${f(wallHi)}""",

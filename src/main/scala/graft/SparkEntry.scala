@@ -543,8 +543,8 @@ object SparkEntry {
            |nonkeep AS (SELECT vec_id FROM clusters WHERE vec_id <> cluster_id)
            |SELECT source, count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars
            |FROM documents d
-           |JOIN embeddings e ON d.doc_id = e.vec_id
-           |WHERE d.doc_id NOT IN (SELECT vec_id FROM nonkeep)
+           |WHERE EXISTS (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id)
+           |  AND d.doc_id NOT IN (SELECT vec_id FROM nonkeep)
            |GROUP BY 1 ORDER BY 1""".stripMargin,
       "c1_curation" ->
         s"""WITH q AS (SELECT doc_id FROM (

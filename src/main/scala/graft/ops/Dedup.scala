@@ -98,13 +98,23 @@ object Dedup {
     * nondeterministic, so pairs normalize to (least, greatest) — the
     * unordered pair SET per shingle is order-invariant. The uncapped
     * path keeps the self-join (an unbounded shingle would make
-    * collect_list a memory hazard there). */
+    * collect_list a memory hazard there).
+    *
+    * The DEFAULT is capped ([[DefaultMaxDocFreq]]): the quadratic
+    * uncapped self-join is the explicit opt-in `maxDocFreq = 0` — an
+    * API whose default detonates on the first boilerplate-heavy corpus
+    * is a hazard, and callers who truly want exact Jaccard on a corpus
+    * they know is clean can say so. */
+  val DefaultMaxDocFreq = 256
+
   def ngramJaccardPairs(docs: DataFrame, minJaccard: Double,
                         textCol: String = "text", n: Int = 3,
-                        maxDocFreq: Int = Int.MaxValue): DataFrame = {
+                        maxDocFreq: Int = DefaultMaxDocFreq): DataFrame = {
+    require(maxDocFreq >= 0,
+      s"maxDocFreq must be >= 0 (0 = the uncapped opt-in), got $maxDocFreq")
     val allRows = shingleRows(docs, textCol, n)
     val candidates =
-      if (maxDocFreq == Int.MaxValue) {
+      if (maxDocFreq == 0) {
         val a = allRows.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"), col("shingle"))
         val b = allRows.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"), col("shingle"))
         a.join(b, Seq("shingle"))
@@ -406,8 +416,19 @@ object Dedup {
       val ra = find(a); val rb = find(b)
       if (ra != rb) parent.put(ra, rb)
     }
-    def lt(x: Any, y: Any): Boolean =
-      x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+    // strings compare by UTF-8 byte order, NOT Comparable.compareTo:
+    // Spark's distributed min("label") orders UTF8String by unsigned UTF-8
+    // bytes, while String.compareTo orders by UTF-16 code units — for ids
+    // containing supplementary-plane characters the two disagree (e.g.
+    // U+FF61 sorts before U+10000 in UTF-8 but after it in UTF-16), and
+    // the tiers would pick different keepers
+    def lt(x: Any, y: Any): Boolean = (x, y) match {
+      case (a: String, b: String) =>
+        java.util.Arrays.compareUnsigned(
+          a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+      case _ => x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+    }
     val minOfRoot = new java.util.HashMap[Any, Any]()
     parent.keySet().asScala.foreach { k =>
       val r = find(k)

@@ -54,6 +54,53 @@ object IncrementalDedup {
 
   def keyBucket(key: Column): Column = pmod(hash(key), lit(KeyBuckets))
 
+  /** Writer-lease marker enforcing the store's single-writer contract.
+    * Underscore-prefixed so parquet reads ignore it (same convention as
+    * `_SUCCESS`). */
+  private val LeaseName = "_writer.lease"
+
+  /** Run `body` holding the store's writer lease: `create(path,
+    * overwrite=false)` is atomic on HDFS-like stores (best-effort
+    * check-then-create on the local FS), so an overlapping drop +
+    * compaction fails FAST and LOUD instead of interleaving silently.
+    * The lease releases on any exit, including exceptions; only a hard
+    * JVM kill leaves it behind, and that stale lease must be broken
+    * explicitly with [[breakWriterLease]] once the operator confirms no
+    * writer is alive — the same manual step HDFS lease recovery requires,
+    * because "the holder died" is not machine-decidable from the outside. */
+  private[streaming] def withWriterLease[T](spark: SparkSession,
+                                            storeDir: String)(body: => T): T = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(storeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(root)
+    val lease = new Path(root, LeaseName)
+    val out =
+      try fs.create(lease, /* overwrite = */ false)
+      catch {
+        case e: java.io.IOException =>
+          throw new IllegalStateException(
+            s"store writer lease $lease is held: a drop or compaction is " +
+              "already writing this store (single-writer contract). If the " +
+              "holder crashed, break the stale lease with " +
+              "IncrementalDedup.breakWriterLease once no writer is alive.", e)
+      }
+    try out.write(s"pid=${ProcessHandle.current().pid()}\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    try body
+    finally fs.delete(lease, false): Unit
+  }
+
+  /** Remove a stale writer lease left by a hard-killed writer. Only call
+    * after confirming no drop or compaction is running against the store. */
+  def breakWriterLease(spark: SparkSession, storeDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val lease = new Path(new Path(storeDir), LeaseName)
+    val fs = lease.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(lease, false): Unit
+  }
+
   /** Start (or resume) incremental dedup: new parquet doc files under
     * `inDir` → near-dup pairs appended under `pairsDir/batch=N` and banded
     * signatures committed under `storeDir/batch=N/kb=K`. */
@@ -82,6 +129,7 @@ object IncrementalDedup {
                                       k: Int, bands: Int,
                                       minEstJaccard: Double): Unit = {
     val spark = batch.sparkSession
+    withWriterLease(spark, storeDir) {
     val newBanded = Dedup.bandedSignatureKeys(
       Dedup.minhashSignatures(batch, k), k, bands)
       .withColumn("kb", keyBucket(col("key")))
@@ -120,6 +168,7 @@ object IncrementalDedup {
       newBanded.write.partitionBy("kb")
         .mode("overwrite").parquet(s"$storeDir/batch=$batchId")
     } finally newBanded.unpersist(): Unit
+    }
   }
 
   /** Compact the committed store: merge every batch directory with id ≤
@@ -162,12 +211,22 @@ object IncrementalDedup {
     val root = new Path(storeDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return
+    withWriterLease(spark, storeDir) {
     def batchDirs: Map[Long, Path] =
       fs.listStatus(root)
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
         .map(st => st.getPath.getName.stripPrefix("batch=").toLong -> st.getPath)
         .toMap
     val targetId = -(throughBatch + 1)
+    // an existing base covering MORE than throughBatch must not be folded
+    // into a narrower-labeled target: no data would be lost, but the
+    // "coverage decidable from the directory listing" recovery invariant
+    // would lie. Refuse loudly — re-run with throughBatch >= its coverage.
+    batchDirs.keySet.filter(b => b < 0 && -b - 1 > throughBatch).foreach { b =>
+      throw new IllegalArgumentException(
+        s"existing compacted base batch=$b covers through ${-b - 1}, beyond " +
+          s"throughBatch=$throughBatch; re-run with throughBatch >= ${-b - 1}")
+    }
     val mergeable = batchDirs.keySet
       .filter(b => b != targetId && (b < 0 || b <= throughBatch))
     if (mergeable.isEmpty) return
@@ -191,6 +250,7 @@ object IncrementalDedup {
     }
     val dirs = batchDirs
     mergeable.foreach(b => dirs.get(b).foreach(p => fs.delete(p, true): Unit))
+    }
   }
 
   /** The committed banded store restricted to PREVIOUS batches and to the

@@ -35,7 +35,7 @@ class OpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
       .sortBy(t => (t._1, t._2)).toSeq
     val capped = canon(Dedup.ngramJaccardPairs(docs, minJaccard = 0.3, maxDocFreq = 1000))
-    val uncapped = canon(Dedup.ngramJaccardPairs(docs, minJaccard = 0.3))
+    val uncapped = canon(Dedup.ngramJaccardPairs(docs, minJaccard = 0.3, maxDocFreq = 0))
     assert(capped.nonEmpty)
     assert(capped == uncapped)
   }
@@ -142,11 +142,16 @@ class OpsSpec extends AnyFunSuite {
     val dirty = (0 until 300)
       .map(i => (i.toLong, s"$boiler unique$i tail$i token$i"))
       .toDF("doc_id", "text")
-    val uncapped = Dedup.ngramJaccardPairs(dirty, minJaccard = 0.05).count()
+    // uncapped is the explicit opt-in (maxDocFreq = 0) since round 5: the
+    // DEFAULT must never be the configuration that detonates here
+    val uncapped = Dedup.ngramJaccardPairs(dirty, minJaccard = 0.05, maxDocFreq = 0).count()
     assert(uncapped == 300L * 299 / 2,
       s"uncapped boilerplate corpus must pair everything: $uncapped")
     val capped = Dedup.ngramJaccardPairs(dirty, minJaccard = 0.05, maxDocFreq = 50).count()
     assert(capped == 0, s"capped boilerplate corpus must produce no candidates: $capped")
+    // the DEFAULT (finite cap) also defuses it — df=300 > DefaultMaxDocFreq
+    assert(Dedup.ngramJaccardPairs(dirty, minJaccard = 0.05).count() == 0,
+      "default cap must drop the 300-doc boilerplate shingles")
     // clean corpus (testdata max shingle df ≈ 7 at sf0.001): cap is a no-op
     def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
@@ -268,6 +273,25 @@ class OpsSpec extends AnyFunSuite {
     val dist = asMap(Dedup.duplicateClusters(pairs, localSolveMaxPairs = 0))
     assert(local == dist, "the two tiers must partition identically")
     assert(local.nonEmpty)
+  }
+
+  test("duplicateClusters tiers agree on string ids where UTF-8 and UTF-16 orders diverge") {
+    import SparkTestSessionImport.spark.implicits._
+    // U+FF61 is a single BMP char (UTF-8: EF BD A1); U+10000 is a surrogate
+    // pair (UTF-8: F0 90 80 80). String.compareTo (UTF-16 code units) says
+    // U+10000 < U+FF61, but Spark's UTF8String min() (unsigned UTF-8 bytes)
+    // says U+FF61 < U+10000 — the keeper choice must follow the
+    // distributed tier's binary order in BOTH tiers
+    val lo = "｡"         // UTF-8-smaller
+    val hi = "𐀀"   // U+10000: UTF-16-smaller
+    val hi2 = "𐀁"  // U+10001: chains the component past one edge
+    val pairs = Seq((lo, hi), (hi, hi2)).toDF("doc_a", "doc_b")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val local = asMap(Dedup.duplicateClusters(pairs))
+    val dist = asMap(Dedup.duplicateClusters(pairs, localSolveMaxPairs = 0))
+    assert(local == dist, s"tier keeper divergence: local=$local dist=$dist")
+    assert(local.values.toSet == Set(lo), "keeper must be the UTF-8-minimal id")
   }
 
   test("IVF ANN with trained k-means centers finds planted twins as top-1") {

@@ -193,6 +193,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(dirIds == Set(-3L))
   }
 
+  test("writer lease: overlapping writers fail fast, lease releases on exit, stale lease breakable") {
+    val base = java.nio.file.Files.createTempDirectory("graft-lease").toString
+    val store = s"$base/store"
+    // a held lease makes the second writer fail fast — including a real
+    // compaction attempt (the overlap the single-writer contract forbids)
+    IncrementalDedup.withWriterLease(spark, store) {
+      val e = intercept[IllegalStateException] {
+        IncrementalDedup.withWriterLease(spark, store) { fail("second writer must not run") }
+      }
+      assert(e.getMessage.contains("single-writer"), e.getMessage)
+      val e2 = intercept[IllegalStateException] {
+        IncrementalDedup.compactStore(spark, store, throughBatch = 0)
+      }
+      assert(e2.getMessage.contains("lease"), e2.getMessage)
+    }
+    // released on normal exit: acquiring again succeeds
+    IncrementalDedup.withWriterLease(spark, store) { () }
+    // released on exceptional exit too
+    intercept[RuntimeException] {
+      IncrementalDedup.withWriterLease(spark, store) { throw new RuntimeException("boom") }
+    }
+    IncrementalDedup.withWriterLease(spark, store) { () }
+    // a hard-killed writer's stale lease blocks until broken explicitly
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(store, "_writer.lease"), "pid=dead\n")
+    intercept[IllegalStateException] {
+      IncrementalDedup.withWriterLease(spark, store) { () }
+    }
+    IncrementalDedup.breakWriterLease(spark, store)
+    IncrementalDedup.withWriterLease(spark, store) { () }
+  }
+
+  test("compactStore refuses to narrow an existing base's coverage label") {
+    val base = java.nio.file.Files.createTempDirectory("graft-cov").toString
+    val store = s"$base/store"
+    // an existing base batch=-3 declares coverage through 2; compacting
+    // through 1 would fold it under a narrower label — must refuse loudly
+    assert(new java.io.File(s"$store/batch=-3").mkdirs())
+    val e = intercept[IllegalArgumentException] {
+      IncrementalDedup.compactStore(spark, store, throughBatch = 1)
+    }
+    assert(e.getMessage.contains("covers through 2"), e.getMessage)
+    // and the refusal released the lease (a retry with a wide-enough
+    // throughBatch is not blocked)
+    IncrementalDedup.withWriterLease(spark, store) { () }
+  }
+
   test("mapGroupsWithState running totals accumulate per source") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
