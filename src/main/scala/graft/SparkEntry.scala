@@ -20,6 +20,11 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+
   /** bitsPerBand for the embedding-LSH queries (d5, c2): PINNED to 4 — the
     * oracle twins' literal constant — so the oracle-checked queries stay in
     * lockstep at every sf. Scale batteries opt into the corpus-sized
@@ -176,17 +181,28 @@ object SparkEntry {
         .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
         .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        // exact revenue on LONGS (see q1 for why double sums can't be used):
+        // the data is exactly 2-decimal, so the exact decimal term
+        // ext*(1-disc) equals the integer ext_c*(100-disc_c) at scale 1e-4
+        // (the round() only strips the double representation error of the
+        // 2-decimal inputs, < 1e-7 of an integer). Summation runs in TWO
+        // exact phases: per-(group, input partition) partials stay LONG —
+        // a partition would need ~10^10 max-value rows to overflow 2^63,
+        // orders of magnitude past any maxPartitionBytes split — and only
+        // the #groups×#partitions partial rows widen to decimal at the
+        // final aggregation, which removes the per-row BigDecimal
+        // accumulator the round-4 profile paid 1.4 s for. Decimal/integer
+        // summation is associative, so the total — and the round→::DOUBLE
+        // emitted value — is bit-identical to the oracle's decimal sum at
+        // ANY corpus size (re-verified at sf0.01 and sf0.1).
+        .withColumn("rev_c", round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long")))
+        .groupBy(col("r_name"), spark_partition_id().as("__pid"))
+        .agg(count(lit(1)).as("n1"), sum("rev_c").as("s1"))
         .groupBy("r_name")
-        .agg(count(lit(1)).as("n_items"),
-          // exact decimal product+sum (see q1). Widths are chosen so the
-          // per-row arithmetic stays on Spark's LONG-backed Decimal fast
-          // path: the data is exactly 2-decimal, so (12,2)x(5,2) →
-          // decimal(18,4) products (precision ≤ 18 = no Int128 per row);
-          // only the per-group sum accumulator widens. Exactness is
-          // unaffected — every intermediate is an exact decimal in both
-          // engines regardless of declared width.
-          round(sum(col("l_extendedprice").cast("decimal(12,2)") *
-            (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)"))), 4)
+        .agg(sum("n1").as("n_items"),
+          round((sum(col("s1").cast("decimal(38,0)")) / lit(10000))
+            .cast("decimal(38,4)"), 4)
             .cast("double").as("revenue"))
         .orderBy("r_name")
     }),
@@ -299,6 +315,30 @@ object SparkEntry {
         Dedup.lshNearDupPairs(Dedup.minhashSignatures(t(s, d, "documents"))),
         localSolveMaxPairs = d7LocalMax)
         .orderBy("doc_id")),
+    "d8_incremental_clusters" -> ((s, d) => {
+      // incremental duplicate-CLUSTER maintenance as a battery query: the
+      // d4 pair graph is split into three deterministic "drops"
+      // (pmod(doc_b, 3)), folded one drop at a time into a fresh label
+      // store (IncrementalClusters.update — endpoint lookups db-pruned,
+      // contracted-graph CC through the same two-tier solver as d7), and
+      // the final resolved labels are emitted. Incremental ≡ batch for ANY
+      // split is the operator's contract (StreamingSpec proves it), so the
+      // oracle is d7's recursive-CTE component labeling VERBATIM. The
+      // local temp store is an artifact of this verification harness;
+      // production stores live wherever the stream commits them.
+      import graft.streaming.IncrementalClusters
+      val pairs = Dedup.lshNearDupPairs(Dedup.minhashSignatures(t(s, d, "documents")))
+        .select("doc_a", "doc_b").persist()
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_d8_" +
+        Integer.toHexString(d.hashCode)
+      deleteRecursively(new java.io.File(dir))
+      (0 to 2).foreach { i =>
+        IncrementalClusters.update(pairs.filter(pmod(col("doc_b"), lit(3)) === i),
+          dir, i, localSolveMaxPairs = d7LocalMax)
+      }
+      pairs.unpersist()
+      IncrementalClusters.currentLabels(s, dir).orderBy("doc_id")
+    }),
     "c1_curation" -> ((s, d) => {
       // composite curation pipeline: quality gate ∧ language gate ∧
       // exact-dedup keeper, rolled up per source — the end-to-end shape a
@@ -513,22 +553,26 @@ object SparkEntry {
     * the twins stay in lockstep by construction. */
   def oracleSql: Map[String, String] = {
     val base = baseOracleSql
+    // connected components of the d4 pair graph via a recursive CTE:
+    // reach = every (doc, label-of-a-node-that-reaches-doc); component
+    // id = min reachable label (edges are symmetric). Shared VERBATIM by
+    // d7 (batch clustering) and d8 (incremental cluster maintenance) —
+    // incremental ≡ batch is d8's contract, so its oracle IS d7's.
+    val d7Sql =
+      s"""WITH RECURSIVE pairs AS (
+         |${base("d4_lsh_pairs")}),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+         |reach(doc_id, label) AS (
+         |  SELECT doc_id, doc_id FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.label FROM reach r JOIN edges e ON r.doc_id = e.src)
+         |SELECT doc_id, min(label) AS cluster_id
+         |FROM reach GROUP BY 1 ORDER BY doc_id""".stripMargin
     base ++ Map(
-      "d7_dup_clusters" ->
-        // connected components of the d4 pair graph via a recursive CTE:
-        // reach = every (doc, label-of-a-node-that-reaches-doc); component
-        // id = min reachable label (edges are symmetric)
-        s"""WITH RECURSIVE pairs AS (
-           |${base("d4_lsh_pairs")}),
-           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-           |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-           |nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
-           |reach(doc_id, label) AS (
-           |  SELECT doc_id, doc_id FROM nodes
-           |  UNION
-           |  SELECT e.dst, r.label FROM reach r JOIN edges e ON r.doc_id = e.src)
-           |SELECT doc_id, min(label) AS cluster_id
-           |FROM reach GROUP BY 1 ORDER BY doc_id""".stripMargin,
+      "d7_dup_clusters" -> d7Sql,
+      "d8_incremental_clusters" -> d7Sql,
       "c2_semantic_curation" ->
         s"""WITH RECURSIVE pairs AS (
            |${base("d5_embedding_neardup")}),

@@ -103,12 +103,17 @@ object IncrementalDedup {
 
   /** Start (or resume) incremental dedup: new parquet doc files under
     * `inDir` → near-dup pairs appended under `pairsDir/batch=N` and banded
-    * signatures committed under `storeDir/batch=N/kb=K`. */
+    * signatures committed under `storeDir/batch=N/kb=K`. With `labelsDir`
+    * set, each drop additionally folds its pairs into the incremental
+    * cluster-label store ([[IncrementalClusters.update]]), so keeper
+    * selection stays current per drop instead of requiring a batch
+    * reclustering of the whole pair history. */
   def run(spark: SparkSession, inDir: String, storeDir: String,
           pairsDir: String, checkpointDir: String,
           schema: String = "doc_id BIGINT, text STRING",
           k: Int = 16, bands: Int = 4,
-          minEstJaccard: Double = 0.5): StreamingQuery =
+          minEstJaccard: Double = 0.5,
+          labelsDir: Option[String] = None): StreamingQuery =
     spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", 64)
@@ -116,6 +121,17 @@ object IncrementalDedup {
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, storeDir, pairsDir, k, bands, minEstJaccard)
+        // after the pair partition commit: reading the just-written batch
+        // partition back cuts the lineage (no re-hash) and makes a replay
+        // recompute labels from the identical committed pairs
+        labelsDir.foreach { ld =>
+          // a drop with zero pairs writes only _SUCCESS — no footer to
+          // infer a schema from; such a drop is a label no-op by semantics
+          try IncrementalClusters.update(
+            batch.sparkSession.read.parquet(s"$pairsDir/batch=$batchId"),
+            ld, batchId)
+          catch { case _: AnalysisException => () }
+        }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

@@ -89,15 +89,18 @@ class StreamingSpec extends AnyFunSuite {
 
     // two drops (nightly shape); near-dup twins are planted across the
     // corpus so some pairs span the drops and some fall inside one
+    val labels = s"$base/labels"
     val drop1 = docs.filter(col("doc_id") % 2 === 0)
     val drop2 = docs.filter(col("doc_id") % 2 === 1)
     drop1.write.mode("append").parquet(in)
-    graft.streaming.IncrementalDedup.run(spark, in, store, pairs, cp).awaitTermination()
+    graft.streaming.IncrementalDedup.run(spark, in, store, pairs, cp,
+      labelsDir = Some(labels)).awaitTermination()
     val afterDrop1 = spark.read.parquet(store)
     assert(afterDrop1.select("batch").distinct().count() == 1,
       "first run commits exactly one store partition")
     drop2.write.mode("append").parquet(in)
-    graft.streaming.IncrementalDedup.run(spark, in, store, pairs, cp).awaitTermination()
+    graft.streaming.IncrementalDedup.run(spark, in, store, pairs, cp,
+      labelsDir = Some(labels)).awaitTermination()
 
     def canon(df: org.apache.spark.sql.DataFrame) = df
       .select("doc_a", "doc_b", "est_jaccard").collect()
@@ -108,6 +111,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty, "testdata plants near-dups; the batch baseline must find them")
     assert(incremental == batch,
       s"incremental (${incremental.size}) must equal batch (${batch.size})")
+    // end-to-end label maintenance through run(labelsDir=...): the
+    // per-drop label store must equal batch clustering of the pair graph
+    val streamedLabels = IncrementalClusters.currentLabels(spark, labels)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batchClusters = graft.ops.Dedup.duplicateClusters(
+      spark.read.parquet(pairs).select("doc_a", "doc_b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamedLabels == batchClusters,
+      "streamed label store must equal batch duplicateClusters of the pair graph")
     // the second run hashed ONLY drop2: the store grew by exactly its docs
     // (banded layout: one row per (doc, band) in its key's kb directory)
     val store2 = spark.read.parquet(store)
@@ -191,6 +203,64 @@ class StreamingSpec extends AnyFunSuite {
     // idempotent: a second run is a no-op
     IncrementalDedup.compactStore(spark, store, throughBatch = 2)
     assert(dirIds == Set(-3L))
+  }
+
+  test("incremental cluster maintenance: N drops ≡ batch d7, split-invariant, replay-safe, compactable") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val allPairs = graft.ops.Dedup.lshNearDupPairs(
+      graft.ops.Dedup.minhashSignatures(docs))
+      .select("doc_a", "doc_b").persist()
+    assert(allPairs.count() > 10, "testdata must plant enough near-dup pairs")
+    val batchLabels = graft.ops.Dedup.duplicateClusters(allPairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def labelsOf(dir: String) = IncrementalClusters.currentLabels(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val base = java.nio.file.Files.createTempDirectory("graft-incclu").toString
+    val l3 = s"$base/l3"
+    (0 to 2).foreach { i =>
+      IncrementalClusters.update(
+        allPairs.filter(pmod(col("doc_b"), lit(3)) === i), l3, i)
+    }
+    assert(labelsOf(l3) == batchLabels,
+      "3-drop incremental labels must equal batch duplicateClusters")
+    // replaying the last micro-batch (at-least-once delivery) is a no-op
+    IncrementalClusters.update(
+      allPairs.filter(pmod(col("doc_b"), lit(3)) === 2), l3, 2)
+    assert(labelsOf(l3) == batchLabels, "replayed drop must not change labels")
+    // a DIFFERENT split converges to the identical labels (split invariance)
+    val l2 = s"$base/l2"
+    (0 to 1).foreach { i =>
+      IncrementalClusters.update(
+        allPairs.filter(pmod(col("doc_a"), lit(2)) === i), l2, i)
+    }
+    assert(labelsOf(l2) == batchLabels, "split choice must not matter")
+
+    // endpoint lookups partition-prune the assignment store by doc bucket
+    val template = allPairs.limit(1)
+    val pruned = IncrementalClusters.prunedAssignments(spark, l3, template,
+      Seq(0, 1), excludeBatch = 999L)
+    val planStr = pruned.queryExecution.executedPlan.toString
+    assert(planStr.matches("(?s).*PartitionFilters:\\s*\\[[^\\]]*db[^\\]]*\\].*"),
+      s"db must be a partition (pruning) filter:\n$planStr")
+
+    // compaction folds merges into a single assignment base; labels unchanged
+    IncrementalClusters.compact(spark, l3, throughBatch = 2)
+    def subdirs(p: String) = Option(new java.io.File(p).listFiles)
+      .map(_.map(_.getName).toSet).getOrElse(Set.empty[String])
+    assert(subdirs(s"$l3/assign") == Set("batch=-3"), subdirs(s"$l3/assign").toString)
+    assert(subdirs(s"$l3/merges").isEmpty, "folded merge dirs must be deleted")
+    assert(labelsOf(l3) == batchLabels, "compaction must not change labels")
+    // idempotent re-run
+    IncrementalClusters.compact(spark, l3, throughBatch = 2)
+    assert(labelsOf(l3) == batchLabels)
+    // and new drops keep working against the compacted base: replay the
+    // full pair set as one more drop — still a no-op on labels
+    IncrementalClusters.update(allPairs, l3, 3)
+    assert(labelsOf(l3) == batchLabels)
+    allPairs.unpersist(): Unit
   }
 
   test("writer lease: overlapping writers fail fast, lease releases on exit, stale lease breakable") {
