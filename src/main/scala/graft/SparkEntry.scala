@@ -122,6 +122,21 @@ object SparkEntry {
         .groupBy("event_type").agg(round(max("rs"), 4).as("peak"))
         .orderBy("event_type")
     }),
+    "q4b_chunked_peak" -> ((s, d) => {
+      // W1's 100-TB scale path under its OWN green oracle row: on
+      // integer-cast values (exact cents) the chunked re-association is
+      // exact, so the DuckDB window twin locks bit-for-bit — the FP
+      // caveat that keeps chunkedRunningPeak out of q4 vanishes. The
+      // operator's parallelism grows with type × day-chunk instead of
+      // pinning each type's history to one task (see ops/Windows).
+      import graft.ops.Windows
+      Windows.chunkedRunningPeak(
+        t(s, d, "events")
+          .withColumn("value", floor(col("value") * 100).cast("long")),
+        chunkCol = date_trunc("day", col("ts")))
+        .select(col("event_type"), col("peak"))
+        .orderBy("event_type")
+    }),
     "q5_latest_events" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
@@ -629,6 +644,14 @@ object SparkEntry {
         | SELECT event_type, sum(value) OVER (PARTITION BY event_type
         |   ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rs
         | FROM events) GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q4b_chunked_peak" ->
+      // integer-cents twin of q4: the plain global window is the oracle
+      // for the chunked two-phase decomposition (exact ⇒ equal)
+      """SELECT event_type, max(rs) AS peak FROM (
+        | SELECT event_type, sum(v) OVER (PARTITION BY event_type
+        |   ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rs
+        | FROM (SELECT event_type, ts, event_id, floor(value*100)::BIGINT AS v FROM events))
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q5_latest_events" ->
       """SELECT user_id, event_id, event_type FROM (
         | SELECT user_id, event_id, event_type,

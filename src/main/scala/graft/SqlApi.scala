@@ -3,7 +3,8 @@ package graft
 import graft.kernel.{Extract, Router}
 import graft.model.{Doc, Span}
 import graft.ops.{Dedup, TextAnalysis}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.size
 import org.apache.spark.sql.graft.ColumnBridge
 
 /** The pure-SQL surface: one call registers graft's kernel and native
@@ -53,6 +54,23 @@ object SqlApi {
         }
         Extract.extractDoc(Doc(docId, spans)).spans
       })
+
+    // headline dedup/text operators as NATIVE SQL functions: the builder
+    // splices the same composed codegen'd column expression the battery
+    // operators plan (Dedup.contentHash, TextAnalysis.*Col) into the
+    // caller's plan — not a UDF wrapper, so predicate pushdown and
+    // whole-stage codegen see straight through them. Each is the exact
+    // d1/t1/t2/t3/t4 shape, so the battery's DuckDB oracles pin them
+    // transitively (SqlApiSpec asserts SQL ≡ operator per function).
+    def registerColumnFn(name: String)(fn: Column => Column): Unit =
+      ColumnBridge.registerExpression(spark, name, { exprs =>
+        require(exprs.length == 1, s"$name requires exactly 1 argument")
+        ColumnBridge.expression(fn(ColumnBridge.column(exprs.head)))
+      })
+    registerColumnFn("content_hash")(Dedup.contentHash)      // d1/t4 key
+    registerColumnFn("token_count")(t => size(TextAnalysis.tokens(t))) // t1
+    registerColumnFn("quality_label")(TextAnalysis.qualityLabelCol)    // t2
+    registerColumnFn("lang_id")(TextAnalysis.langIdCol)                // t3
 
     // sketches / fingerprints (same tokenization as the battery operators)
     def toks(text: String): Seq[String] =

@@ -55,7 +55,10 @@ object Windows {
       .rowsBetween(Window.unboundedPreceding, -1)
     perChunk
       .withColumn("__offset",
-        coalesce(sum(col("__chunk_sum")).over(wPrev), lit(0.0)))
+        // lit(0), not lit(0.0): the integer literal coerces to the value
+        // column's own type, so integral inputs stay exact longs through
+        // the offset phase instead of being silently widened to double
+        coalesce(sum(col("__chunk_sum")).over(wPrev), lit(0)))
       .groupBy(col(typ))
       .agg(max(col("__offset") + col("__chunk_peak")).as("peak"))
   }

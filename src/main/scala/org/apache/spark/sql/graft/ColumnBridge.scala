@@ -13,7 +13,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
   * only place graft reaches into Spark internals. */
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
-  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eager ColumnNode → Expression conversion through Spark's real
+    * converter. `ExpressionUtils.expression` only wraps the node in a lazy
+    * `ColumnNodeExpression` — fine inside Dataset analysis, which converts
+    * it, but a tree spliced into a plan through the function registry never
+    * meets that conversion and dies at codegen as Unevaluable. */
+  def expression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 
   /** Register a native expression as a session-temporary SQL function, so
     * `spark.sql("SELECT vec_dot(a, b) ...")` plans the codegen'd expression

@@ -56,6 +56,46 @@ class SqlApiSpec extends AnyFunSuite {
     assert(viaCol == 32.0)
   }
 
+  test("dedup/text operators are SQL-callable as native expressions ≡ the oracle-pinned operators") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.createOrReplaceTempView("sql_tdocs")
+    val viaSql = spark.sql(
+      """SELECT doc_id, content_hash(text) AS h, token_count(text) AS n,
+        | quality_label(text) AS q, lang_id(text) AS l
+        |FROM sql_tdocs""".stripMargin)
+    // the registered functions splice composed codegen'd expressions, not
+    // UDF wrappers — the plan must carry no black-box ScalaUDF node
+    assert(!viaSql.queryExecution.executedPlan.toString.contains("ScalaUDF"),
+      "SQL surface must plan native expressions")
+    val got = viaSql.collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2), r.getString(3), r.getString(4)))
+      .toMap
+    // ≡ the battery operators that carry the d1/t1/t2/t3/t4 DuckDB oracles
+    val h = graft.ops.TextAnalysis.fingerprint(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val n = graft.ops.TextAnalysis.tokenCount(docs).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val q = graft.ops.TextAnalysis.qualityScore(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("quality_label")).toMap
+    val l = graft.ops.TextAnalysis.langId(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("lang_id")).toMap
+    got.foreach { case (id, (gh, gn, gq, gl)) =>
+      assert(gh == h(id) && gn == n(id) && gq == q(id) && gl == l(id),
+        s"doc $id diverges between SQL surface and operators")
+    }
+    // content_hash is d1's exact-dedup key: the SQL-side keeper rollup
+    // equals Dedup.exactDedup
+    val viaSqlDedup = spark.sql(
+      """SELECT content_hash(text) AS content_hash, min(doc_id) AS keeper_doc_id,
+        | count(*) AS n_docs FROM sql_tdocs GROUP BY 1""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val viaOp = graft.ops.Dedup.exactDedup(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaSqlDedup == viaOp)
+    assert(docs.select(col("doc_id")).count() == got.size.toLong)
+  }
+
   test("sketch and routing functions are SQL-callable with kernel semantics") {
     val r = spark.sql(
       """SELECT simhash60('the quick brown fox') AS sh,
