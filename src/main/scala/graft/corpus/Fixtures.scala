@@ -36,6 +36,18 @@ object Fixtures {
       textDoc("fixture_mp_page1", p1),
       textDoc("fixture_mp_page2", p2),
       textDoc("fixture_mp_all", p0, p1, p2),
+      // large_batch_results.json pages 3-8 + the client_parallel re-run of
+      // mp_page1 truncated at a different byte: seven further real model
+      // outputs, each a distinct tolerant-parse failure shape (mid-string,
+      // mid-table-HTML, mid-number, missing delimiter, repetition loop
+      // swallowing the whole first element)
+      textDoc("fixture_lb_page3", resource("lb_page3.txt")),
+      textDoc("fixture_lb_page4", resource("lb_page4.txt")),
+      textDoc("fixture_lb_page5", resource("lb_page5.txt")),
+      textDoc("fixture_lb_page6", resource("lb_page6.txt")),
+      textDoc("fixture_lb_page7", resource("lb_page7.txt")),
+      textDoc("fixture_lb_page8", resource("lb_page8.txt")),
+      textDoc("fixture_cp3_page0", resource("cp3_page0.txt")),
       textDoc("fixture_ex000_ocr", resource("ex000_ocr.txt")),
       textDoc("fixture_ex000_truth_md", resource("ex000_truth_md.txt")))
   }

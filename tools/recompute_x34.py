@@ -141,6 +141,13 @@ def fixture_docs():
         text_doc('fixture_mp_page1', p1),
         text_doc('fixture_mp_page2', p2),
         text_doc('fixture_mp_all', p0, p1, p2),
+        text_doc('fixture_lb_page3', res('lb_page3.txt')),
+        text_doc('fixture_lb_page4', res('lb_page4.txt')),
+        text_doc('fixture_lb_page5', res('lb_page5.txt')),
+        text_doc('fixture_lb_page6', res('lb_page6.txt')),
+        text_doc('fixture_lb_page7', res('lb_page7.txt')),
+        text_doc('fixture_lb_page8', res('lb_page8.txt')),
+        text_doc('fixture_cp3_page0', res('cp3_page0.txt')),
         text_doc('fixture_ex000_ocr', res('ex000_ocr.txt')),
         text_doc('fixture_ex000_truth_md', res('ex000_truth_md.txt')),
     ], json.loads(res('expected.json'))

@@ -12,35 +12,36 @@ Inputs (all public content in the reference repo):
 Expected span sequences are computed here in *Python*, independently of the
 Scala kernel, so the golden suite is a genuine cross-implementation check:
   kind = category, text (Picture -> ""), media_ref = bbox://x1,y1,x2,y2 for
-  JSON-born pictures, offset = reading-order index (= reference file order,
-  which the model emitted in reading order).
+  JSON-born pictures, offset = XY-cut reading-order index. Ordering uses the
+  Python reading-order implementation (recompute_corpus.py) — for most
+  reference pages that equals the file's emission order, but pages with
+  vertically overlapping boxes (lb_page7) are reordered by the documented
+  XY-cut contract, and the pin stays Python-vs-Scala cross-implementation.
 """
-import json, os, re
+import importlib.util, json, os, re
 
 REF = "/root/reference"
 OUT = "/root/repo/src/main/resources/graft/fixtures"
 os.makedirs(OUT, exist_ok=True)
 
-
-def fmt_num(v):
-    f = float(v)
-    if f == int(f) and abs(f) < 1e15:
-        return str(int(f))
-    return str(f)
+_spec = importlib.util.spec_from_file_location(
+    "recompute_corpus",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 "recompute_corpus.py"))
+rc = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(rc)
 
 
 def elements_to_spans(elements):
+    els = [rc.El(float(e["bbox"][0]), float(e["bbox"][1]),
+                 float(e["bbox"][2]), float(e["bbox"][3]), e["category"],
+                 "" if e["category"] == "Picture" else e.get("text", ""))
+           for e in elements]
     spans = []
-    for i, e in enumerate(elements):
-        cat = e["category"]
-        bbox = e["bbox"]
-        if cat == "Picture":
-            text = ""
-            ref = "bbox://" + ",".join(fmt_num(x) for x in bbox)
-        else:
-            text = e.get("text", "")
-            ref = ""
-        spans.append({"kind": cat, "text": text, "media_ref": ref, "offset": i})
+    for i, e in enumerate(rc.reading_order(els)):
+        ref = e.bbox_ref() if e.category == "Picture" else ""
+        spans.append({"kind": e.category, "text": e.text,
+                      "media_ref": ref, "offset": i})
     return spans
 
 
@@ -123,6 +124,35 @@ def main():
         s = dict(s); s["offset"] = i; all_spans[i] = s
     expected["fixture_mp_all"] = {
         "failure_code": "TRUNCATED", "success": True, "spans": all_spans}
+
+    # large_batch_results.json pages 3-8: six further real model outputs,
+    # every one a DIFFERENT tolerant-parse failure shape (mid-string cut,
+    # mid-table-HTML cut, mid-number cut, missing delimiter, repetition
+    # loop swallowing the whole first element) — the breadth the recovery
+    # kernel needs hard evidence against. Pages 0-2 are byte-identical to
+    # the multi_page fixtures already transcribed and are skipped.
+    lb = json.load(open(f"{REF}/results/large_batch_results.json"))
+    for pg in (3, 4, 5, 6, 7, 8):
+        raw = lb["results"][pg]["result"]
+        open(f"{OUT}/lb_page{pg}.txt", "w").write(raw)
+        els, code = tolerant_parse(raw)
+        expected[f"fixture_lb_page{pg}"] = {
+            "failure_code": code,
+            "success": code in ("", "TRUNCATED", "SCHEMA_VIOLATION"),
+            "spans": elements_to_spans(els),
+        }
+
+    # client_parallel re-run of the same page as mp_page1, truncated at a
+    # DIFFERENT byte — same document, distinct recovery prefix
+    cp = json.load(open(f"{REF}/results/client_parallel_3pages_results.json"))
+    raw = cp["results"][0]["result"]
+    open(f"{OUT}/cp3_page0.txt", "w").write(raw)
+    els, code = tolerant_parse(raw)
+    expected["fixture_cp3_page0"] = {
+        "failure_code": code,
+        "success": code in ("", "TRUNCATED", "SCHEMA_VIOLATION"),
+        "spans": elements_to_spans(els),
+    }
 
     tr = json.load(open(f"{REF}/benchmark/results/test_results_20250816_133103.json"))
     raw = tr["modal_result"]
