@@ -434,9 +434,36 @@ object BenchWorker {
           .agg(sum(col("value"))).collect()
         (System.nanoTime() - t0) / 1e9
       }.getOrElse(-1.0)
+      def genShufflePacked(): Double = fusedDocs.map { n =>
+        import spark.implicits._
+        val t0 = System.nanoTime()
+        ExtractionPipeline.synthDocs(spark, n, parallelism = parts)
+          .map(d => (d.doc_id, graft.pipeline.SpanCodec.pack(d.spans)))
+          .repartition(parts, pmod(hash(col("_1")), lit(parts)))
+          .mapPartitions(it => Iterator.single(it.size))(
+            org.apache.spark.sql.Encoders.scalaInt)
+          .agg(sum(col("value"))).collect()
+        (System.nanoTime() - t0) / 1e9
+      }.getOrElse(-1.0)
+      def fullWith(pack: Boolean): Double = {
+        val docs = fusedDocs match {
+          case Some(n) => ExtractionPipeline.synthDocs(spark, n, parallelism = parts)
+          case None    => spark.read.parquet(corpus).as[graft.model.Doc](
+            org.apache.spark.sql.Encoders.product[graft.model.Doc])
+        }
+        val t0 = System.nanoTime()
+        ExtractionPipeline.extract(docs,
+          ExtractionPipeline.Config(numPartitions = parts, packSpans = pack))
+          .agg(count(lit(1)), sum("n_pages"), sum("n_spans")).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
       (1 to 3).foreach { i =>
+        // alternate packed/row FULL passes back-to-back so both sample the
+        // same noise window — the honest A/B for the packSpans default
         System.err.println(f"DEBUG l$level pass$i gen=${genOnly()}%.2f " +
-          f"genShuffle=${genShuffle()}%.2f full=${onePass()._1}%.2f")
+          f"genShuffle=${genShuffle()}%.2f " +
+          f"genShufflePacked=${genShufflePacked()}%.2f " +
+          f"fullPacked=${fullWith(true)}%.2f fullRow=${fullWith(false)}%.2f")
       }
     }
 

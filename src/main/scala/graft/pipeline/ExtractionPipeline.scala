@@ -40,7 +40,13 @@ object ExtractionPipeline {
         * expensive (a real OCR model ~seconds/page, as in the reference);
         * leave off for cheap kernels where salting alone levels the load —
         * a 250-page doc costs ~10ms here, far below task granularity. */
-      splitOversized: Boolean = false)
+      splitOversized: Boolean = false,
+      /** Ship span arrays across the salting exchange packed into one
+        * binary blob per doc (SpanCodec) instead of UnsafeRow
+        * array-of-struct — fewer fixed bytes on the shared DRAM bus for
+        * per-core pack/unpack cycles. Kept as a flag for honest A/B
+        * against the row form (BenchWorker debug mode exercises both). */
+      packSpans: Boolean = true)
 
   /** Deterministic synthetic corpus as a Dataset — embarrassingly parallel,
     * zero shuffle, no stored input (scales to any nDocs). */
@@ -113,19 +119,39 @@ object ExtractionPipeline {
     // letting the partitioner mod the re-hashed full-range int keeps all
     // P partitions uniformly loaded; the salt still rotates the layout
     // for skew defusal.
-    val salted = docs.repartition(cfg.numPartitions,
-      hash($"doc_id") + lit(cfg.salt))
-      .as[Doc]
-
     val opts = Extract.Options(mode = cfg.mode)
 
-    if (!cfg.splitOversized) {
-      // single scan, single shuffle: whole doc through the kernel
-      salted.mapPartitions { it =>
-        val pid = TaskContext.getPartitionId()
-        it.map(d => Extract.extractDoc(d, opts).copy(partition_id = pid))
-      }
+    if (!cfg.splitOversized && cfg.packSpans) {
+      // single scan, single shuffle: whole doc through the kernel. The
+      // span array crosses the exchange PACKED into one binary blob
+      // (SpanCodec): UnsafeRow's ~48 fixed bytes per span struct are a
+      // large share of this string-heavy shuffle, and shuffle bytes ride
+      // the one shared DRAM bus while pack/unpack CPU scales with cores —
+      // measured shuffle-stage wall -26% at 16 cores, -3% at 4
+      // (BASELINE.md). Exact round-trip is property-tested; extraction
+      // equality vs the row path is pinned in PipelineSpec.
+      docs.map(d => (d.doc_id, SpanCodec.pack(d.spans)))
+        .repartition(cfg.numPartitions, hash($"_1") + lit(cfg.salt))
+        .as[(String, Array[Byte])]
+        .mapPartitions { it =>
+          val pid = TaskContext.getPartitionId()
+          it.map { case (id, blob) =>
+            Extract.extractDoc(graft.model.Doc(id, SpanCodec.unpack(blob)), opts)
+              .copy(partition_id = pid)
+          }
+        }
+    } else if (!cfg.splitOversized) {
+      // row-form twin of the packed path (A/B baseline)
+      docs.repartition(cfg.numPartitions, hash($"doc_id") + lit(cfg.salt))
+        .as[Doc]
+        .mapPartitions { it =>
+          val pid = TaskContext.getPartitionId()
+          it.map(d => Extract.extractDoc(d, opts).copy(partition_id = pid))
+        }
     } else {
+      val salted = docs.repartition(cfg.numPartitions,
+        hash($"doc_id") + lit(cfg.salt))
+        .as[Doc]
       val threshold = cfg.oversizedSpanThreshold
       val small = salted.filter(d => d.spans == null || d.spans.size <= threshold)
       val big = salted.filter(d => d.spans != null && d.spans.size > threshold)

@@ -29,6 +29,42 @@ class PipelineSpec extends AnyFunSuite {
     docs.unpersist()
   }
 
+  test("SpanCodec round-trips exactly: unicode, null fields, any offsets") {
+    val rnd = new scala.util.Random(31)
+    val pool = Seq("plain ascii", "देवनागरी पाठ 😀", "𐀀 supplementary ｡",
+      "", null, "tab\tnl\nquote\"back\\slash", "x" * 5000)
+    def randSpan(): Span = Span(
+      Seq("text", "media", "Table", "Weird-kind", "", null)(rnd.nextInt(6)),
+      pool(rnd.nextInt(pool.size)), pool(rnd.nextInt(pool.size)),
+      rnd.nextInt() // any int, including negative
+    )
+    (0 until 200).foreach { _ =>
+      val spans = Vector.fill(rnd.nextInt(40))(randSpan())
+      val back = SpanCodec.unpack(SpanCodec.pack(spans))
+      assert(back == spans, s"roundtrip diverged for $spans")
+    }
+    // degenerate forms: null and empty both decode to empty (extractDoc
+    // maps both to the same EMPTY_DOC result)
+    assert(SpanCodec.unpack(SpanCodec.pack(null)) == Vector.empty)
+    assert(SpanCodec.unpack(SpanCodec.pack(Vector.empty)) == Vector.empty)
+    // extreme offsets survive the zigzag varint
+    for (off <- Seq(Int.MinValue, Int.MaxValue, -1, 0)) {
+      val s = Vector(Span("text", "t", "", off))
+      assert(SpanCodec.unpack(SpanCodec.pack(s)) == s)
+    }
+  }
+
+  test("packed-span shuffle path ≡ row-form path on the synthetic corpus") {
+    val docs = ExtractionPipeline.synthDocs(spark, 200, seed = 13, parallelism = 4).cache()
+    val packed = ExtractionPipeline.extract(docs,
+      ExtractionPipeline.Config(numPartitions = 5, packSpans = true)).collect().toSeq
+    val row = ExtractionPipeline.extract(docs,
+      ExtractionPipeline.Config(numPartitions = 5, packSpans = false)).collect().toSeq
+    assert(canon(packed) == canon(row))
+    assert(packed.size == 200)
+    docs.unpersist()
+  }
+
   test("salted repartition occupies every partition with balanced load " +
     "(no double-hash collapse)") {
     // regression pin: repartition(P, pmod(hash+salt, P)) lets
