@@ -347,9 +347,26 @@ object SparkEntry {
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft_d8_" +
         Integer.toHexString(d.hashCode)
       deleteRecursively(new java.io.File(dir))
-      (0 to 2).foreach { i =>
-        IncrementalClusters.update(pairs.filter(pmod(col("doc_b"), lit(3)) === i),
-          dir, i, localSolveMaxPairs = d7LocalMax)
+      // AQE off around the per-drop updates (restored after): each update
+      // is ~10 fixed-shape micro-stages over an already-tiny pair delta —
+      // nothing to adapt, while AQE's per-query-stage materialize+replan
+      // barrier costs ~0.2-0.5 s × every boundary (the same argument as
+      // the scaling workers, Bench.session). A real nightly drop is one
+      // update over millions of pairs, where AQE earns its barriers.
+      val aqeBefore = s.conf.get("spark.sql.adaptive.enabled", "true")
+      val partsBefore = s.conf.get("spark.sql.shuffle.partitions", "32")
+      try {
+        s.conf.set("spark.sql.adaptive.enabled", "false")
+        // without AQE's coalescing, size the micro-shuffles to the delta
+        // (a handful of tasks), not the session-wide analytics default
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        (0 to 2).foreach { i =>
+          IncrementalClusters.update(pairs.filter(pmod(col("doc_b"), lit(3)) === i),
+            dir, i, localSolveMaxPairs = d7LocalMax)
+        }
+      } finally {
+        s.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+        s.conf.set("spark.sql.shuffle.partitions", partsBefore)
       }
       pairs.unpersist()
       IncrementalClusters.currentLabels(s, dir).orderBy("doc_id")

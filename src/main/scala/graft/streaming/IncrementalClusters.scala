@@ -55,8 +55,12 @@ import org.apache.spark.sql.functions._
 object IncrementalClusters {
 
   /** Assignment-store doc-bucket fan-out; bounded so a drop's bucket set
-    * is collectable for literal partition pruning. */
-  val DocBuckets = 64
+    * is collectable for literal partition pruning. Coarser than the
+    * signature store's KeyBuckets (64) on purpose: assignment rows are
+    * two scalars, so a pruned bucket read is tiny either way, while the
+    * per-drop partitioned-write commit cost scales with the directory
+    * fan-out (measured the dominant update cost at 64). */
+  val DocBuckets = 16
 
   def docBucket(id: Column): Column = pmod(hash(id), lit(DocBuckets))
 
@@ -109,7 +113,10 @@ object IncrementalClusters {
         val deltaM = cc.join(existingReps, Seq("doc_id"))
           .filter(col("doc_id") =!= col("cluster_id"))
           .select(col("doc_id").as("old_label"), col("cluster_id").as("new_label"))
-        deltaM.write.mode("overwrite")
+        // one file: the merge map is the operator's declared bounded-small
+        // side (it rides as a broadcast), so a single part file per batch
+        // is the right shape at any scale
+        deltaM.coalesce(1).write.mode("overwrite")
           .parquet(s"$labelsDir/merges/batch=$batchId")
         // first-time assignments for docs the store has never seen; the
         // left join is belt only — every new endpoint survives into the
@@ -120,7 +127,14 @@ object IncrementalClusters {
           .join(cc.withColumnRenamed("cluster_id", "cid"), Seq("doc_id"), "left")
           .select(col("doc_id"), coalesce(col("cid"), col("doc_id")).as("cluster_id"),
             docBucket(col("doc_id")).as("db"))
-        newAssign.write.partitionBy("db").mode("overwrite")
+        // cluster the write by its partition column first: without this
+        // every upstream task writes a file into every db directory it
+        // touches (the classic partitionBy small-file explosion — up to
+        // tasks × DocBuckets files per drop); hashing on db makes it one
+        // file per (db, post-AQE partition), and AQE sizes the partition
+        // count to the drop's actual volume
+        newAssign.repartition(col("db"))
+          .write.partitionBy("db").mode("overwrite")
           .parquet(s"$labelsDir/assign/batch=$batchId")
       } finally {
         if (cc != null) cc.unpersist()
