@@ -20,11 +20,6 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(deleteRecursively))
-    f.delete(): Unit
-  }
-
   /** bitsPerBand for the embedding-LSH queries (d5, c2): PINNED to 4 — the
     * oracle twins' literal constant — so the oracle-checked queries stay in
     * lockstep at every sf. Scale batteries opt into the corpus-sized
@@ -344,9 +339,12 @@ object SparkEntry {
       import graft.streaming.IncrementalClusters
       val pairs = Dedup.lshNearDupPairs(Dedup.minhashSignatures(t(s, d, "documents")))
         .select("doc_a", "doc_b").persist()
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_d8_" +
-        Integer.toHexString(d.hashCode)
-      deleteRecursively(new java.io.File(dir))
+      // fresh per-invocation store: a fixed shared path would let two
+      // concurrent runs against the same sf dir delete each other's
+      // in-progress store (and its writer lease) mid-update. A few-MB
+      // leftover per run under tmpdir beats cross-process corruption.
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_d8_").toString
       // AQE off around the per-drop updates (restored after): each update
       // is ~10 fixed-shape micro-stages over an already-tiny pair delta —
       // nothing to adapt, while AQE's per-query-stage materialize+replan

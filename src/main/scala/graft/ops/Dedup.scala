@@ -110,8 +110,12 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, minJaccard: Double,
                         textCol: String = "text", n: Int = 3,
                         maxDocFreq: Int = DefaultMaxDocFreq): DataFrame = {
-    require(maxDocFreq >= 0,
-      s"maxDocFreq must be >= 0 (0 = the uncapped opt-in), got $maxDocFreq")
+    require(maxDocFreq >= 0 && maxDocFreq != Int.MaxValue,
+      s"maxDocFreq must be >= 0 (0 = the uncapped opt-in), got $maxDocFreq. " +
+        "Int.MaxValue — the pre-round-5 uncapped sentinel — is rejected " +
+        "loudly: it would silently select the capped collect_list path with " +
+        "an unbounded per-shingle buffer, the exact OOM the cap guards " +
+        "against; pass 0 for the uncapped self-join")
     val allRows = shingleRows(docs, textCol, n)
     val candidates =
       if (maxDocFreq == 0) {

@@ -39,13 +39,17 @@ object ExtractionPipeline {
         * second source scan + shuffle). Worth it when per-page work is
         * expensive (a real OCR model ~seconds/page, as in the reference);
         * leave off for cheap kernels where salting alone levels the load —
-        * a 250-page doc costs ~10ms here, far below task granularity. */
+        * a 250-page doc costs ~10ms here, far below task granularity.
+        * Takes PRECEDENCE over `packSpans`: the split path needs span
+        * structure on both sides of its chunk shuffle, so it always ships
+        * rows. */
       splitOversized: Boolean = false,
       /** Ship span arrays across the salting exchange packed into one
         * binary blob per doc (SpanCodec) instead of UnsafeRow
         * array-of-struct — fewer fixed bytes on the shared DRAM bus for
         * per-core pack/unpack cycles. Kept as a flag for honest A/B
-        * against the row form (BenchWorker debug mode exercises both). */
+        * against the row form (BenchWorker debug mode exercises both).
+        * Ignored when `splitOversized` is set (see its doc). */
       packSpans: Boolean = true)
 
   /** Deterministic synthetic corpus as a Dataset — embarrassingly parallel,

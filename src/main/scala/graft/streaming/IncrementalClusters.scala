@@ -64,6 +64,34 @@ object IncrementalClusters {
 
   def docBucket(id: Column): Column = pmod(hash(id), lit(DocBuckets))
 
+  /** The store remembers its bucket fan-out in a marker file, written on
+    * the first commit and REQUIRED to match on every later one: pruning
+    * computes `db = pmod(hash(doc_id), DocBuckets)` at read time, so a
+    * store written under a different constant would silently miss every
+    * row in buckets the new constant never generates — a wrong-results
+    * hazard, not a perf one. Mismatch fails loudly; recover by compacting
+    * with the OLD binary (or rewriting the store), never by ignoring. */
+  private def checkBucketMarker(spark: SparkSession, labelsDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val marker = new Path(new Path(labelsDir), "_doc_buckets")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val found = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      finally in.close()
+      require(found == DocBuckets.toString,
+        s"label store $labelsDir was written with DocBuckets=$found but this " +
+          s"binary uses DocBuckets=$DocBuckets — pruned lookups would silently " +
+          "miss rows; rewrite/compact the store under one constant first")
+    } else {
+      val out = fs.create(marker, true)
+      try out.write(DocBuckets.toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+
   /** Fold one drop's candidate pairs (doc_a, doc_b) into the label store.
     * `localSolveMaxPairs` is the contracted-graph tier threshold passed
     * through to [[Dedup.duplicateClusters]]. */
@@ -71,6 +99,7 @@ object IncrementalClusters {
              localSolveMaxPairs: Long = 2000000L): Unit = {
     val spark = newPairs.sparkSession
     IncrementalDedup.withWriterLease(spark, labelsDir) {
+      checkBucketMarker(spark, labelsDir)
       val p = newPairs.select(col("doc_a"), col("doc_b")).persist()
       var looked: DataFrame = null
       var cc: DataFrame = null
@@ -179,21 +208,15 @@ object IncrementalClusters {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(root, "assign"))) return
     IncrementalDedup.withWriterLease(spark, labelsDir) {
-      def dirsOf(sub: String): Map[Long, Path] = {
-        val d = new Path(root, sub)
-        if (!fs.exists(d)) Map.empty
-        else fs.listStatus(d)
-          .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
-          .map(st => st.getPath.getName.stripPrefix("batch=").toLong -> st.getPath)
-          .toMap
-      }
+      // the base rewrite below recomputes db = docBucket(doc_id) with THIS
+      // binary's constant — under a mismatched marker that would lay out a
+      // base the marker lies about, re-arming the silent mis-pruning
+      // hazard for every later update
+      checkBucketMarker(spark, labelsDir)
+      def dirsOf(sub: String): Map[Long, Path] =
+        IncrementalDedup.batchDirsOf(fs, new Path(root, sub))
       val targetId = -(throughBatch + 1)
-      dirsOf("assign").keySet.filter(b => b < 0 && -b - 1 > throughBatch)
-        .foreach { b =>
-          throw new IllegalArgumentException(
-            s"existing compacted base batch=$b covers through ${-b - 1}, beyond " +
-              s"throughBatch=$throughBatch; re-run with throughBatch >= ${-b - 1}")
-        }
+      IncrementalDedup.requireCoverage(dirsOf("assign").keySet, throughBatch)
       val assignDirs = dirsOf("assign")
       val mergeable = assignDirs.keySet
         .filter(b => b != targetId && (b < 0 || b <= throughBatch))
@@ -217,6 +240,10 @@ object IncrementalClusters {
             coalesce(col("new_label"), col("cluster_id")).as("cluster_id"),
             docBucket(col("doc_id")).as("db"))
           .dropDuplicates("doc_id", "cluster_id")
+          // cluster by the partition column (same reason as update's
+          // assignment write): this is the store's LARGEST write, and an
+          // unclustered partitionBy fans out tasks × DocBuckets part files
+          .repartition(col("db"))
           .write.partitionBy("db").mode("overwrite")
           .parquet(s"$labelsDir/assign/batch=$targetId")
       }

@@ -85,11 +85,15 @@ object IncrementalDedup {
               "holder crashed, break the stale lease with " +
               "IncrementalDedup.breakWriterLease once no writer is alive.", e)
       }
-    try out.write(s"pid=${ProcessHandle.current().pid()}\n"
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    try body
-    finally fs.delete(lease, false): Unit
+    // pid write INSIDE the delete-on-exit scope: if the write/close throws
+    // (disk full, transient FS error) the lease must not leak — a leaked
+    // lease blocks every future writer until a manual break
+    try {
+      try out.write(s"pid=${ProcessHandle.current().pid()}\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      body
+    } finally fs.delete(lease, false): Unit
   }
 
   /** Remove a stale writer lease left by a hard-killed writer. Only call
@@ -100,6 +104,29 @@ object IncrementalDedup {
     val fs = lease.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(lease, false): Unit
   }
+
+  /** `batch=<id>` subdirectories of `dir` — the listing both compaction
+    * protocols (signature store here, label store in
+    * [[IncrementalClusters]]) decide recovery from. */
+  private[streaming] def batchDirsOf(fs: org.apache.hadoop.fs.FileSystem,
+                                     dir: org.apache.hadoop.fs.Path
+                                    ): Map[Long, org.apache.hadoop.fs.Path] =
+    if (!fs.exists(dir)) Map.empty
+    else fs.listStatus(dir)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .map(st => st.getPath.getName.stripPrefix("batch=").toLong -> st.getPath)
+      .toMap
+
+  /** Shared coverage-label invariant: an existing base covering MORE than
+    * `throughBatch` must not be folded under a narrower label — no data
+    * would be lost, but "coverage decidable from the directory listing"
+    * would lie. Refuse loudly; re-run with a wide-enough throughBatch. */
+  private[streaming] def requireCoverage(ids: Set[Long], throughBatch: Long): Unit =
+    ids.filter(b => b < 0 && -b - 1 > throughBatch).foreach { b =>
+      throw new IllegalArgumentException(
+        s"existing compacted base batch=$b covers through ${-b - 1}, beyond " +
+          s"throughBatch=$throughBatch; re-run with throughBatch >= ${-b - 1}")
+    }
 
   /** Start (or resume) incremental dedup: new parquet doc files under
     * `inDir` → near-dup pairs appended under `pairsDir/batch=N` and banded
@@ -125,12 +152,23 @@ object IncrementalDedup {
         // partition back cuts the lineage (no re-hash) and makes a replay
         // recompute labels from the identical committed pairs
         labelsDir.foreach { ld =>
-          // a drop with zero pairs writes only _SUCCESS — no footer to
-          // infer a schema from; such a drop is a label no-op by semantics
-          try IncrementalClusters.update(
-            batch.sparkSession.read.parquet(s"$pairsDir/batch=$batchId"),
-            ld, batchId)
-          catch { case _: AnalysisException => () }
+          // a drop with zero pairs writes only _SUCCESS — no data file, no
+          // schema, and a label no-op by semantics. Check for data files
+          // explicitly rather than catching AnalysisException around the
+          // whole update: a broad catch would also swallow a real failure
+          // (schema drift, unreadable label store) and silently commit a
+          // batch whose labels were never folded in — permanently breaking
+          // the incremental ≡ batch contract with no surfaced error.
+          import org.apache.hadoop.fs.Path
+          val batchPath = new Path(s"$pairsDir/batch=$batchId")
+          val fs = batchPath.getFileSystem(
+            batch.sparkSession.sparkContext.hadoopConfiguration)
+          val hasData = fs.exists(batchPath) && fs.listStatus(batchPath)
+            .exists(st => st.isFile && !st.getPath.getName.startsWith("_"))
+          if (hasData)
+            IncrementalClusters.update(
+              batch.sparkSession.read.parquet(batchPath.toString),
+              ld, batchId)
         }
       }
       .option("checkpointLocation", checkpointDir)
@@ -228,21 +266,9 @@ object IncrementalDedup {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return
     withWriterLease(spark, storeDir) {
-    def batchDirs: Map[Long, Path] =
-      fs.listStatus(root)
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
-        .map(st => st.getPath.getName.stripPrefix("batch=").toLong -> st.getPath)
-        .toMap
+    def batchDirs: Map[Long, Path] = batchDirsOf(fs, root)
     val targetId = -(throughBatch + 1)
-    // an existing base covering MORE than throughBatch must not be folded
-    // into a narrower-labeled target: no data would be lost, but the
-    // "coverage decidable from the directory listing" recovery invariant
-    // would lie. Refuse loudly — re-run with throughBatch >= its coverage.
-    batchDirs.keySet.filter(b => b < 0 && -b - 1 > throughBatch).foreach { b =>
-      throw new IllegalArgumentException(
-        s"existing compacted base batch=$b covers through ${-b - 1}, beyond " +
-          s"throughBatch=$throughBatch; re-run with throughBatch >= ${-b - 1}")
-    }
+    requireCoverage(batchDirs.keySet, throughBatch)
     val mergeable = batchDirs.keySet
       .filter(b => b != targetId && (b < 0 || b <= throughBatch))
     if (mergeable.isEmpty) return

@@ -263,6 +263,34 @@ class StreamingSpec extends AnyFunSuite {
     allPairs.unpersist(): Unit
   }
 
+  test("label store refuses a DocBuckets mismatch loudly (silent mis-pruning hazard)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("graft-dbmark").toString
+    val dir = s"$base/labels"
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b")
+    IncrementalClusters.update(pairs, dir, 0)
+    // marker written on first commit
+    val marker = java.nio.file.Path.of(dir, "_doc_buckets")
+    assert(java.nio.file.Files.readString(marker).trim
+      == IncrementalClusters.DocBuckets.toString)
+    // a store from a binary with a different fan-out must be rejected —
+    // pruned lookups under the wrong constant silently MISS rows.
+    // (Drop the Hadoop local-FS checksum sidecar when editing raw.)
+    def setMarker(v: String): Unit = {
+      java.nio.file.Files.deleteIfExists(java.nio.file.Path.of(dir, "._doc_buckets.crc"))
+      java.nio.file.Files.writeString(marker, v): Unit
+    }
+    setMarker("64")
+    val e = intercept[IllegalArgumentException] {
+      IncrementalClusters.update(pairs.filter(col("doc_a") > 2), dir, 1)
+    }
+    assert(e.getMessage.contains("DocBuckets"), e.getMessage)
+    // and the refusal released the writer lease
+    setMarker(IncrementalClusters.DocBuckets.toString)
+    IncrementalClusters.update(pairs.filter(col("doc_a") > 2), dir, 1)
+  }
+
   test("writer lease: overlapping writers fail fast, lease releases on exit, stale lease breakable") {
     val base = java.nio.file.Files.createTempDirectory("graft-lease").toString
     val store = s"$base/store"
