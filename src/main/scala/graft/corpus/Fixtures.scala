@@ -48,6 +48,7 @@ object Fixtures {
       textDoc("fixture_lb_page7", resource("lb_page7.txt")),
       textDoc("fixture_lb_page8", resource("lb_page8.txt")),
       textDoc("fixture_cp3_page0", resource("cp3_page0.txt")),
+      textDoc("fixture_cp6_page0", resource("cp6_page0.txt")),
       textDoc("fixture_ex000_ocr", resource("ex000_ocr.txt")),
       textDoc("fixture_ex000_truth_md", resource("ex000_truth_md.txt")))
   }

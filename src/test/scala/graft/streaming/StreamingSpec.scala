@@ -237,6 +237,17 @@ class StreamingSpec extends AnyFunSuite {
         allPairs.filter(pmod(col("doc_a"), lit(2)) === i), l2, i)
     }
     assert(labelsOf(l2) == batchLabels, "split choice must not matter")
+    // promote-past-threshold: threshold 0 forces every contracted-graph CC
+    // through the DISTRIBUTED adaptive-pointer-jump tier — the 100-TB
+    // configuration — end-to-end through the label store
+    val l0 = s"$base/l0"
+    (0 to 1).foreach { i =>
+      IncrementalClusters.update(
+        allPairs.filter(pmod(col("doc_a"), lit(2)) === i), l0, i,
+        localSolveMaxPairs = 0)
+    }
+    assert(labelsOf(l0) == batchLabels,
+      "forced-distributed contracted CC must produce identical labels")
 
     // endpoint lookups partition-prune the assignment store by doc bucket
     val template = allPairs.limit(1)

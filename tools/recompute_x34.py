@@ -148,6 +148,7 @@ def fixture_docs():
         text_doc('fixture_lb_page7', res('lb_page7.txt')),
         text_doc('fixture_lb_page8', res('lb_page8.txt')),
         text_doc('fixture_cp3_page0', res('cp3_page0.txt')),
+        text_doc('fixture_cp6_page0', res('cp6_page0.txt')),
         text_doc('fixture_ex000_ocr', res('ex000_ocr.txt')),
         text_doc('fixture_ex000_truth_md', res('ex000_truth_md.txt')),
     ], json.loads(res('expected.json'))

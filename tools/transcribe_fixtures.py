@@ -142,17 +142,21 @@ def main():
             "spans": elements_to_spans(els),
         }
 
-    # client_parallel re-run of the same page as mp_page1, truncated at a
-    # DIFFERENT byte — same document, distinct recovery prefix
-    cp = json.load(open(f"{REF}/results/client_parallel_3pages_results.json"))
-    raw = cp["results"][0]["result"]
-    open(f"{OUT}/cp3_page0.txt", "w").write(raw)
-    els, code = tolerant_parse(raw)
-    expected["fixture_cp3_page0"] = {
-        "failure_code": code,
-        "success": code in ("", "TRUNCATED", "SCHEMA_VIOLATION"),
-        "spans": elements_to_spans(els),
-    }
+    # client_parallel re-runs of the same page as mp_page1: two further
+    # INDEPENDENT generations of that document (cp6 diverges from mp at
+    # char 32 — different sampling run, not just a different truncation
+    # byte) — same document, distinct element text and recovery prefixes
+    for fname, key in (("client_parallel_3pages_results.json", "cp3_page0"),
+                       ("client_parallel_6pages_results.json", "cp6_page0")):
+        cp = json.load(open(f"{REF}/results/{fname}"))
+        raw = cp["results"][0]["result"]
+        open(f"{OUT}/{key}.txt", "w").write(raw)
+        els, code = tolerant_parse(raw)
+        expected[f"fixture_{key}"] = {
+            "failure_code": code,
+            "success": code in ("", "TRUNCATED", "SCHEMA_VIOLATION"),
+            "spans": elements_to_spans(els),
+        }
 
     tr = json.load(open(f"{REF}/benchmark/results/test_results_20250816_133103.json"))
     raw = tr["modal_result"]
