@@ -64,33 +64,13 @@ object IncrementalClusters {
 
   def docBucket(id: Column): Column = pmod(hash(id), lit(DocBuckets))
 
-  /** The store remembers its bucket fan-out in a marker file, written on
-    * the first commit and REQUIRED to match on every later one: pruning
-    * computes `db = pmod(hash(doc_id), DocBuckets)` at read time, so a
-    * store written under a different constant would silently miss every
-    * row in buckets the new constant never generates — a wrong-results
-    * hazard, not a perf one. Mismatch fails loudly; recover by compacting
-    * with the OLD binary (or rewriting the store), never by ignoring. */
-  private def checkBucketMarker(spark: SparkSession, labelsDir: String): Unit = {
-    import org.apache.hadoop.fs.Path
-    val marker = new Path(new Path(labelsDir), "_doc_buckets")
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(marker)) {
-      val in = fs.open(marker)
-      val found = try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).trim
-      finally in.close()
-      require(found == DocBuckets.toString,
-        s"label store $labelsDir was written with DocBuckets=$found but this " +
-          s"binary uses DocBuckets=$DocBuckets — pruned lookups would silently " +
-          "miss rows; rewrite/compact the store under one constant first")
-    } else {
-      val out = fs.create(marker, true)
-      try out.write(DocBuckets.toString
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-    }
-  }
+  /** The store remembers its bucket fan-out in a `_doc_buckets` marker,
+    * written on the first commit and REQUIRED to match on every later one
+    * — the shared [[IncrementalDedup.checkFanoutMarker]] invariant (a
+    * store laid out under a different constant would silently miss rows
+    * in pruned lookups). */
+  private def checkBucketMarker(spark: SparkSession, labelsDir: String): Unit =
+    IncrementalDedup.checkFanoutMarker(spark, labelsDir, "doc_buckets", DocBuckets)
 
   /** Fold one drop's candidate pairs (doc_a, doc_b) into the label store.
     * `localSolveMaxPairs` is the contracted-graph tier threshold passed

@@ -105,6 +105,34 @@ object IncrementalDedup {
     fs.delete(lease, false): Unit
   }
 
+  /** Shared fan-out-constant marker: a bucketed store remembers its bucket
+    * count in `_<name>` on first commit and REQUIRES it to match on every
+    * later write — pruning computes bucket values at read time from the
+    * binary's constant, so a store laid out under a different constant
+    * would silently MISS rows (wrong results, not slow ones). Mismatch
+    * fails loudly; recover by rewriting the store under one constant. */
+  private[streaming] def checkFanoutMarker(spark: SparkSession, dir: String,
+                                           name: String, value: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    val marker = new Path(new Path(dir), s"_$name")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val found = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      finally in.close()
+      require(found == value.toString,
+        s"store $dir was written with $name=$found but this binary uses " +
+          s"$name=$value — pruned reads would silently miss rows; rewrite " +
+          "or compact the store under one constant first")
+    } else {
+      val out = fs.create(marker, true)
+      try out.write(value.toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+
   /** `batch=<id>` subdirectories of `dir` — the listing both compaction
     * protocols (signature store here, label store in
     * [[IncrementalClusters]]) decide recovery from. */
@@ -184,6 +212,7 @@ object IncrementalDedup {
                                       minEstJaccard: Double): Unit = {
     val spark = batch.sparkSession
     withWriterLease(spark, storeDir) {
+    checkFanoutMarker(spark, storeDir, "key_buckets", KeyBuckets)
     val newBanded = Dedup.bandedSignatureKeys(
       Dedup.minhashSignatures(batch, k), k, bands)
       .withColumn("kb", keyBucket(col("key")))
@@ -266,6 +295,10 @@ object IncrementalDedup {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return
     withWriterLease(spark, storeDir) {
+    // the base rewrite re-reads kb from the store's partition layout, but a
+    // mismatched-constant binary would still mis-prune every LATER drop —
+    // refuse at the first write, compaction included
+    checkFanoutMarker(spark, storeDir, "key_buckets", KeyBuckets)
     def batchDirs: Map[Long, Path] = batchDirsOf(fs, root)
     val targetId = -(throughBatch + 1)
     requireCoverage(batchDirs.keySet, throughBatch)

@@ -128,6 +128,10 @@ class StreamingSpec extends AnyFunSuite {
     assert(store2.count() == nSigs * 4,
       "store holds one banded row per (doc, band), no re-hashing")
     assert(store2.select("doc_id").distinct().count() == nSigs)
+    // the store carries its fan-out marker (shared checkFanoutMarker guard)
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Path.of(store, "_key_buckets")).trim
+      == IncrementalDedup.KeyBuckets.toString)
     // store rows live in the kb directory their key hashes into
     assert(store2.filter(
       col("kb") =!= graft.streaming.IncrementalDedup.keyBucket(col("key")))
@@ -274,6 +278,35 @@ class StreamingSpec extends AnyFunSuite {
     allPairs.unpersist(): Unit
   }
 
+  test("incremental clusters property: random graphs × random splits ≡ batch") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(97)
+    (1 to 3).foreach { trial =>
+      // ~60 nodes, ~70 random edges: several non-trivial components
+      val pairs = (0 until 70).map { _ =>
+        val a = rnd.nextInt(60).toLong; val b = rnd.nextInt(60).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct
+      val pdf = pairs.toDF("doc_a", "doc_b")
+      val want = graft.ops.Dedup.duplicateClusters(pdf).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // random assignment of each pair to one of k drops, k ∈ {2,3,4}
+      val k = 2 + rnd.nextInt(3)
+      val tagged = pairs.map(p => (p._1, p._2, rnd.nextInt(k)))
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-incprop$trial").toString + "/l"
+      (0 until k).foreach { drop =>
+        val dp = tagged.filter(_._3 == drop).map(t => (t._1, t._2))
+        if (dp.nonEmpty)
+          IncrementalClusters.update(dp.toDF("doc_a", "doc_b"), dir, drop)
+      }
+      val got = IncrementalClusters.currentLabels(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want,
+        s"trial $trial (k=$k): incremental ${got.size} ≠ batch ${want.size}")
+    }
+  }
+
   test("label store refuses a DocBuckets mismatch loudly (silent mis-pruning hazard)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
@@ -296,7 +329,7 @@ class StreamingSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException] {
       IncrementalClusters.update(pairs.filter(col("doc_a") > 2), dir, 1)
     }
-    assert(e.getMessage.contains("DocBuckets"), e.getMessage)
+    assert(e.getMessage.contains("doc_buckets"), e.getMessage)
     // and the refusal released the writer lease
     setMarker(IncrementalClusters.DocBuckets.toString)
     IncrementalClusters.update(pairs.filter(col("doc_a") > 2), dir, 1)
