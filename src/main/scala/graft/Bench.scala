@@ -445,7 +445,8 @@ object BenchWorker {
           .agg(sum(col("value"))).collect()
         (System.nanoTime() - t0) / 1e9
       }.getOrElse(-1.0)
-      def fullWith(pack: Boolean): Double = {
+      def fullRow(): Double = {
+        // row-form twin of onePass (which runs the packSpans default)
         val docs = fusedDocs match {
           case Some(n) => ExtractionPipeline.synthDocs(spark, n, parallelism = parts)
           case None    => spark.read.parquet(corpus).as[graft.model.Doc](
@@ -453,7 +454,7 @@ object BenchWorker {
         }
         val t0 = System.nanoTime()
         ExtractionPipeline.extract(docs,
-          ExtractionPipeline.Config(numPartitions = parts, packSpans = pack))
+          ExtractionPipeline.Config(numPartitions = parts, packSpans = false))
           .agg(count(lit(1)), sum("n_pages"), sum("n_spans")).collect()
         (System.nanoTime() - t0) / 1e9
       }
@@ -463,7 +464,7 @@ object BenchWorker {
         System.err.println(f"DEBUG l$level pass$i gen=${genOnly()}%.2f " +
           f"genShuffle=${genShuffle()}%.2f " +
           f"genShufflePacked=${genShufflePacked()}%.2f " +
-          f"fullPacked=${fullWith(true)}%.2f fullRow=${fullWith(false)}%.2f")
+          f"fullPacked=${onePass()._1}%.2f fullRow=${fullRow()}%.2f")
       }
     }
 

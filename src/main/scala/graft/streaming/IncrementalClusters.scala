@@ -92,8 +92,8 @@ object IncrementalClusters {
           .collect().map(_.getInt(0)).toSeq
         val assigns = prunedAssignments(spark, labelsDir, p, dbs,
           excludeBatch = batchId)
-        val merges = resolvedMerges(spark, labelsDir, p,
-          excludeBatch = Some(batchId))
+        val merges = resolvedMerges(spark, labelsDir,
+          p.schema("doc_a").dataType, excludeBatch = Some(batchId))
         // stored label (null for first-seen docs) resolved through the
         // merge map to the CURRENT root = the doc's representative
         looked = endpoints.drop("db")
@@ -161,9 +161,8 @@ object IncrementalClusters {
   def currentLabels(spark: SparkSession, labelsDir: String): DataFrame = {
     val assigns = spark.read.parquet(s"$labelsDir/assign")
       .select("doc_id", "cluster_id")
-    val merges = resolvedMerges(spark, labelsDir, assigns
-      .select(col("doc_id").as("doc_a"), col("doc_id").as("doc_b")),
-      excludeBatch = None)
+    val merges = resolvedMerges(spark, labelsDir,
+      assigns.schema("doc_id").dataType, excludeBatch = None)
     assigns
       .join(broadcast(merges.select(col("old_label").as("cluster_id"),
         col("new_label"))), Seq("cluster_id"), "left")
@@ -211,7 +210,7 @@ object IncrementalClusters {
           .filter(col("batch") <= throughBatch)
           .select("doc_id", "cluster_id")
         val merges = resolvedMerges(spark, labelsDir,
-          assigns.select(col("doc_id").as("doc_a"), col("doc_id").as("doc_b")),
+          assigns.schema("doc_id").dataType,
           excludeBatch = None, maxBatch = Some(throughBatch))
         assigns
           .join(broadcast(merges.select(col("old_label").as("cluster_id"),
@@ -260,7 +259,7 @@ object IncrementalClusters {
     * The collect is the operator's declared bounded-small-side contract —
     * merge entries accumulate per cluster merge between compactions. */
   private def resolvedMerges(spark: SparkSession, labelsDir: String,
-                             idTemplate: DataFrame,
+                             idType: org.apache.spark.sql.types.DataType,
                              excludeBatch: Option[Long],
                              maxBatch: Option[Long] = None): DataFrame = {
     import scala.jdk.CollectionConverters._
@@ -280,7 +279,6 @@ object IncrementalClusters {
       while (next.containsKey(r)) r = next.get(r)
       r
     }
-    val idType = idTemplate.schema("doc_a").dataType
     val rows = next.keySet().asScala.toSeq
       .map(k => org.apache.spark.sql.Row(k, find(k)))
     spark.createDataFrame(rows.asJava,
