@@ -14,7 +14,7 @@ reimplemented here and validated against `org.apache.spark.sql.functions
 min/max then come from the independent Python extraction kernel
 (recompute_corpus.py). wall_ms is timing and is excluded by design.
 
-x4_golden_verdicts: recomputes the span-sequence verdict table for the six
+x4_golden_verdicts: recomputes the span-sequence verdict table for the 14
 transcribed reference fixtures — the Python kernel extracts each fixture
 doc and the verdict logic (full-outer vs the committed expected.json:
 spans_match on the ordered (kind, text, media_ref, offset) sequence,
