@@ -211,6 +211,7 @@ class StreamingSpec extends AnyFunSuite {
 
   test("incremental cluster maintenance: N drops ≡ batch d7, split-invariant, replay-safe, compactable") {
     import org.apache.spark.sql.functions._
+    import spark.implicits._
     val sf = "/root/testdata/sf0.001"
     val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
     val allPairs = graft.ops.Dedup.lshNearDupPairs(
@@ -252,6 +253,22 @@ class StreamingSpec extends AnyFunSuite {
     }
     assert(labelsOf(l0) == batchLabels,
       "forced-distributed contracted CC must produce identical labels")
+
+    // currentLabels' scale contract: the merge map joins as a BROADCAST
+    // over the assignment scan — no sort-merge shuffle of the store. Use
+    // a store with a GUARANTEED non-empty merge map (drop 1 dethrones
+    // drop 0's root 10 with the smaller id 1); an empty map would let
+    // Catalyst eliminate the join entirely and prove nothing.
+    val lplan = s"$base/lplan"
+    IncrementalClusters.update(Seq((10L, 11L)).toDF("doc_a", "doc_b"), lplan, 0)
+    IncrementalClusters.update(Seq((1L, 10L)).toDF("doc_a", "doc_b"), lplan, 1)
+    val planLabels = IncrementalClusters.currentLabels(spark, lplan)
+    val labelsPlan = planLabels.queryExecution.executedPlan.toString
+    assert(labelsPlan.contains("BroadcastHashJoin"), labelsPlan)
+    assert(!labelsPlan.contains("SortMergeJoin"),
+      s"label resolution must not shuffle the store:\n$labelsPlan")
+    assert(planLabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      == Map(1L -> 1L, 10L -> 1L, 11L -> 1L))
 
     // endpoint lookups partition-prune the assignment store by doc bucket
     val template = allPairs.limit(1)
