@@ -325,6 +325,12 @@ object SparkEntry {
         Dedup.lshNearDupPairs(Dedup.minhashSignatures(t(s, d, "documents"))),
         localSolveMaxPairs = d7LocalMax)
         .orderBy("doc_id")),
+    "d9_dup_spans" -> ((s, d) =>
+      // substring-level duplication (Lee et al. '22 shape): maximal token
+      // ranges covered by 5-token shingles occurring ≥2 times anywhere in
+      // the corpus — boilerplate the document-level dedups can't see
+      Dedup.duplicateTokenSpans(t(s, d, "documents"), k = 5)
+        .orderBy("doc_id", "start_tok")),
     "d8_incremental_clusters" -> ((s, d) => {
       // incremental duplicate-CLUSTER maintenance as a battery query: the
       // d4 pair graph is split into three deterministic "drops"
@@ -976,6 +982,29 @@ object SparkEntry {
         |SELECT doc_id, (CASE WHEN h >= 9223372036854775808::HUGEINT
         |   THEN h - 18446744073709551616::HUGEINT ELSE h END)::BIGINT AS rolling_fp
         |FROM rh ORDER BY doc_id""".stripMargin,
+    "d9_dup_spans" ->
+      // positional 5-shingle md5-prefix hashes -> global occurrence >= 2 ->
+      // per-doc interval merge (identical window arithmetic to the operator)
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(trim(lower(text)),'\s+'), x -> x <> '') AS toks
+        | FROM documents),
+        |sh AS (SELECT doc_id, i - 1 AS pos,
+        |   ('0x' || substr(md5(array_to_string(toks[i:i+4], ' ')),1,15))::BIGINT AS h
+        |  FROM toks, unnest(generate_series(1, len(toks)-4)) t(i)),
+        |dup AS (SELECT h FROM sh GROUP BY h HAVING count(*) >= 2),
+        |hits AS (SELECT doc_id, pos FROM sh JOIN dup USING (h)),
+        |m AS (SELECT doc_id, pos,
+        |   max(pos + 5) OVER (PARTITION BY doc_id ORDER BY pos
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_end
+        | FROM hits),
+        |g AS (SELECT doc_id, pos,
+        |   sum(CASE WHEN prev_max_end IS NULL OR pos > prev_max_end THEN 1 ELSE 0 END)
+        |     OVER (PARTITION BY doc_id ORDER BY pos
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        | FROM m)
+        |SELECT doc_id, min(pos) AS start_tok, max(pos) + 5 AS end_tok,
+        | max(pos) + 5 - min(pos) AS n_tokens
+        |FROM g GROUP BY doc_id, grp ORDER BY doc_id, start_tok""".stripMargin,
     "d6_simhash_pairs" ->
       // md5-prefix 60-bit token hashes -> per-bit majority vote -> 4×15-bit
       // banded equi-join -> Hamming ≤ 6 (bit-for-bit the Scala kernel)

@@ -155,6 +155,72 @@ object Dedup {
       .select("doc_a", "doc_b", "n_common", "jaccard")
   }
 
+  /** Positional k-token shingles: (pos, shingle) pairs, one per token
+    * position — a single pass per document (same CollapseProject rationale
+    * as [[shinglesUdf]]; an expression-level `slice(toks, pos+1, k)` would
+    * also retain the full token array on every exploded row, an O(n²)
+    * materialization per doc). */
+  private val posShinglesUdf = udf { (text: String, k: Int) =>
+    val toks = Option(text).getOrElse("").toLowerCase.trim
+      .split("\\s+").filter(_.nonEmpty)
+    if (toks.length < k) Array.empty[(Int, String)]
+    else {
+      val out = new Array[(Int, String)](toks.length - k + 1)
+      var i = 0
+      while (i + k <= toks.length) {
+        val sb = new StringBuilder(toks(i))
+        var j = 1
+        while (j < k) { sb.append(' ').append(toks(i + j)); j += 1 }
+        out(i) = (i, sb.toString)
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Repeated-substring spans (Lee et al. '22 "Deduplicating Training Data"
+    * shape): every maximal token range covered by `k`-token shingles that
+    * occur at least `minOccurrences` times in the corpus — the exact
+    * SUBSTRING-level duplication the document-level operators (d1-d7)
+    * cannot see (a boilerplate paragraph pasted into otherwise-unique
+    * docs). Output: (doc_id, start_tok, end_tok, n_tokens), token ranges
+    * half-open, overlapping/adjacent hits merged per doc.
+    *
+    * Scale shape: the positional shingle rows shuffle once into the
+    * occurrence count (map-side combinable — (hash, count) partials, never
+    * text); duplicated positions join back on the 60-bit hash (scalar
+    * columns only); the interval merge windows per doc_id, so its
+    * parallelism is the document count and per-partition state is one
+    * doc's hit list. No driver-side collection anywhere. The shingle hash
+    * is the md5-prefix scheme shared bit-for-bit with the DuckDB oracle. */
+  def duplicateTokenSpans(docs: DataFrame, k: Int = 5,
+                          minOccurrences: Int = 2,
+                          textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = docs
+      .select(col("doc_id"), posexplode(posShinglesUdf(col(textCol), lit(k))))
+      .select(col("doc_id"), col("col._1").as("pos"),
+        conv(substring(md5(col("col._2").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+    val dup = sh.groupBy("h").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minOccurrences)
+      .select("h")
+    val hits = sh.join(dup, Seq("h")).select("doc_id", "pos")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    hits
+      .withColumn("prev_max_end",
+        max(col("pos") + lit(k)).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_grp",
+        when(col("prev_max_end").isNull || col("pos") > col("prev_max_end"), 1)
+          .otherwise(0))
+      .withColumn("grp", sum("new_grp").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "grp")
+      .agg(min("pos").as("start_tok"), (max("pos") + lit(k)).as("end_tok"))
+      .select(col("doc_id"), col("start_tok"), col("end_tok"),
+        (col("end_tok") - col("start_tok")).as("n_tokens"))
+  }
+
   /** MinHash signatures: k 61-bit min-hashes per document — the compressed
     * similarity sketch (Broder '97). One md5 per shingle, expanded to the k
     * hash functions by Kirsch-Mitzenmacher double hashing

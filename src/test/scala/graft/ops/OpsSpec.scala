@@ -40,6 +40,23 @@ class OpsSpec extends AnyFunSuite {
     assert(capped == uncapped)
   }
 
+  test("duplicateTokenSpans finds pasted boilerplate runs, merges overlaps, sees within-doc repeats") {
+    import SparkTestSessionImport.spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta unique1 tail1"), // boiler head
+      (2L, "head2 alpha beta gamma delta epsilon zeta tail2"),   // same boiler, shifted
+      (3L, "totally distinct words nothing shared here at all"), // clean
+      (4L, "rep rep rep rep rep rep rep")                        // within-doc repetition
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicateTokenSpans(docs, k = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    // doc 1: dup shingles at pos 0,1 -> merged [0,6); doc 2: pos 1,2 ->
+    // [1,7); doc 4: the 5-token shingle "rep..." occurs at pos 0,1,2 of
+    // the SAME doc (count 3 >= 2) -> [0,7); doc 3: nothing
+    assert(got == Seq((1L, 0, 6, 6), (2L, 1, 7, 6), (4L, 0, 7, 7)), got.toString)
+  }
+
   test("LSH candidates superset check: every high-jaccard pair appears in LSH pairs") {
     val sigs = Dedup.minhashSignatures(docs)
     val lsh = Dedup.lshNearDupPairs(sigs, minEstJaccard = 0.5).collect()
