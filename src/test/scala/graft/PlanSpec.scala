@@ -65,6 +65,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(1500))
   }
 
+  test("d9 occurrence count is map-side combinable and its joins shuffle scalars only") {
+    val p = planOf("d9_dup_spans")
+    // partial_count before the exchange = the (hash, count) partials the
+    // docstring promises; no shingle TEXT may cross any exchange (only
+    // the 60-bit hash, doc_id, pos)
+    assert(p.contains("partial_count"), p.take(1500))
+    assert(!p.contains("SortMergeJoin") || !p.contains("_2#"),
+      "join keys must be the scalar hash, not shingle text")
+    val exchanges = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("shingle")), exchanges.mkString("\n"))
+  }
+
   test("q1 aggregation is a partial/final hash agg over a pruned scan") {
     val p = planOf("q1_lineitem_rollup")
     assert(p.contains("HashAggregate"))
