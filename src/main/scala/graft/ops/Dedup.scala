@@ -121,14 +121,26 @@ object Dedup {
       if (maxDocFreq == 0) {
         val a = allRows.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"), col("shingle"))
         val b = allRows.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"), col("shingle"))
-        a.join(b, Seq("shingle"))
+        // shuffled self-join: one exchange, reused by both sides (see
+        // lshNearDupPairs — a broadcast side would re-run the shingle UDF)
+        a.join(b.hint("shuffle_hash"), Seq("shingle"))
           .filter(col("doc_a") < col("doc_b"))
           .select("doc_a", "n_a", "doc_b", "n_b")
       } else {
-        val hot = allRows.groupBy("shingle").agg(count(lit(1)).as("df"))
+        // ONE exchange feeds both the hot-shingle count and the grouped
+        // candidate generation: `byShingle` hash-partitions the shingle
+        // rows once, so (a) the df-count aggregation and the collect_list
+        // aggregation both run exchange-free on the co-partitioned rows,
+        // and (b) Spark's exchange reuse materializes the shingle map
+        // stage — the expensive tokenize+shingle UDF pass — ONCE instead
+        // of once per consumer (the pre-round-6 shape recomputed the UDF
+        // scan for the count pre-pass and again for the grouping; guide
+        // §2.4 "two operations keyed the same way share one exchange").
+        val byShingle = allRows.repartition(col("shingle"))
+        val hot = byShingle.groupBy("shingle").agg(count(lit(1)).as("df"))
           .filter(col("df") > maxDocFreq)
           .select("shingle")
-        val grouped = allRows
+        val grouped = byShingle
           .join(broadcast(hot), Seq("shingle"), "left_anti")
           .groupBy("shingle")
           .agg(collect_list(struct(col("doc_id"), col("n_sh"))).as("ds"))
@@ -197,11 +209,19 @@ object Dedup {
                           minOccurrences: Int = 2,
                           textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // ONE exchange feeds both consumers of the positional-shingle rows:
+    // hash-partitioning on the 60-bit hash lets the occurrence count and
+    // the duplicated-position join both run exchange-free on the
+    // co-partitioned rows, and exchange reuse materializes the shingle
+    // UDF + md5 map stage ONCE (the pre-round-6 diamond recomputed it for
+    // the count branch and again for the join branch — guide §2.4). The
+    // exchange still carries only (doc_id, pos, h) scalars, never text.
     val sh = docs
       .select(col("doc_id"), posexplode(posShinglesUdf(col(textCol), lit(k))))
       .select(col("doc_id"), col("col._1").as("pos"),
         conv(substring(md5(col("col._2").cast("binary")), 1, 15), 16, 10)
           .cast("long").as("h"))
+      .repartition(col("h"))
     val dup = sh.groupBy("h").agg(count(lit(1)).as("n"))
       .filter(col("n") >= minOccurrences)
       .select("h")
@@ -284,8 +304,18 @@ object Dedup {
     val banded = bandedSignatureKeys(signatures, k, bands)
     val a = banded.select(col("band"), col("key"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("key"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    // SHUFFLE_HASH hint on the self-join: without it the planner broadcasts
+    // one side, and a BroadcastExchange can never reuse the other side's
+    // shuffle — so the ENTIRE upstream pipeline (scan → shingle UDF →
+    // minhash aggregation → banding) executes twice, once per join side
+    // (measured: the duplicated subtree was the whole d4 plan). With both
+    // sides shuffled on (band, key) the two exchanges canonicalize equal
+    // and exchange reuse materializes the pipeline ONCE (guide §2.4/§3.1);
+    // at corpus scale a broadcast of the banded corpus is impossible
+    // anyway, so the shuffled self-join is also the honest 100-TB shape.
     pairsFromCandidates(
-      a.join(b, Seq("band", "key")).filter(col("doc_a") < col("doc_b")),
+      a.join(b.hint("shuffle_hash"), Seq("band", "key"))
+        .filter(col("doc_a") < col("doc_b")),
       k, minEstJaccard)
   }
 
@@ -341,7 +371,9 @@ object Dedup {
       .withColumnRenamed("col", "key")
     val a = banded.select(col("band"), col("key"), col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
     val b2 = banded.select(col("band"), col("key"), col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
-    a.join(b2, Seq("band", "key"))
+    // shuffled self-join so both sides reuse ONE exchange — a broadcast
+    // side would re-run the whole simhash kernel scan (see lshNearDupPairs)
+    a.join(b2.hint("shuffle_hash"), Seq("band", "key"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b", "sh_a", "sh_b")
       .distinct()
@@ -564,7 +596,9 @@ object Dedup {
     // distinct over the raw candidates would shuffle both full embedding
     // arrays per pair (~0.5 KB/pair; measured the dominant d5 cost at the
     // 10x corpus)
-    a.join(b2, Seq("band", "key"))
+    // shuffled self-join so both sides reuse ONE exchange — a broadcast
+    // side would recompute every hyperplane projection (see lshNearDupPairs)
+    a.join(b2.hint("shuffle_hash"), Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine",
         graft.functions.VecMath.vecDot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")))

@@ -74,12 +74,23 @@ object SpanCodec {
   def unpack(bytes: Array[Byte]): Vector[Span] = {
     if (bytes == null || bytes.isEmpty) return Vector.empty
     var p = 0
+    def fail(what: String): Nothing =
+      throw new IllegalArgumentException(
+        s"malformed span blob: $what at byte $p of ${bytes.length}")
+    def nextByte(): Byte = {
+      if (p >= bytes.length) fail("truncated varint")
+      val b = bytes(p); p += 1; b
+    }
     def varint(): Long = {
       var shift = 0; var v = 0L
-      var b = bytes(p); p += 1
+      var b = nextByte()
       while ((b & 0x80) != 0) {
+        // a valid encoder emits ≤ 10 bytes (shift ≤ 63); past that the
+        // continuation run is corrupt and (b & 0x7f) << (shift % 64) would
+        // silently yield wrong values instead of an error
+        if (shift > 63) fail("varint continuation run exceeds 64 bits")
         v |= (b & 0x7fL) << shift; shift += 7
-        b = bytes(p); p += 1
+        b = nextByte()
       }
       v | ((b & 0x7fL) << shift)
     }
@@ -87,17 +98,19 @@ object SpanCodec {
       val n = varint().toInt
       if (n == 0) null
       else {
+        if (n < 0 || p + (n - 1) > bytes.length) fail(s"string length ${n - 1} overruns blob")
         val s = new String(bytes, p, n - 1, java.nio.charset.StandardCharsets.UTF_8)
         p += n - 1
         s
       }
     }
     val count = varint().toInt
+    if (count < 0) fail(s"negative span count $count")
     val out = Vector.newBuilder[Span]
     out.sizeHint(count)
     var i = 0
     while (i < count) {
-      val kind = bytes(p) & 0xff; p += 1
+      val kind = nextByte() & 0xff
       val k = kind match {
         case KindText  => "text"
         case KindMedia => "media"

@@ -81,12 +81,16 @@ object IncrementalClusters {
     IncrementalDedup.withWriterLease(spark, labelsDir) {
       checkBucketMarker(spark, labelsDir)
       val p = newPairs.select(col("doc_a"), col("doc_b")).persist()
+      var endpoints: DataFrame = null
       var looked: DataFrame = null
       var cc: DataFrame = null
       try {
-        val endpoints = p.select(col("doc_a").as("doc_id"))
+        // persisted: consumed twice (the bucket-set collect below and the
+        // `looked` lookup join) — without the persist the endpoint distinct
+        // shuffle re-executes once per consumer
+        endpoints = p.select(col("doc_a").as("doc_id"))
           .union(p.select(col("doc_b").as("doc_id"))).distinct()
-          .withColumn("db", docBucket(col("doc_id")))
+          .withColumn("db", docBucket(col("doc_id"))).persist()
         // the drop's bucket set: bounded (≤ DocBuckets) by construction
         val dbs = endpoints.select("db").distinct()
           .collect().map(_.getInt(0)).toSeq
@@ -148,6 +152,7 @@ object IncrementalClusters {
       } finally {
         if (cc != null) cc.unpersist()
         if (looked != null) looked.unpersist()
+        if (endpoints != null) endpoints.unpersist()
         p.unpersist(): Unit
       }
     }
@@ -274,9 +279,21 @@ object IncrementalClusters {
       }
     val next = new java.util.HashMap[Any, Any]()
     raw.foreach(r => next.put(r.get(0), r.get(1)))
+    // hop bound: a healthy merge map is acyclic (merges always point at a
+    // strictly smaller surviving root), so no chain can be longer than the
+    // map itself. A corrupted store would otherwise hang the driver in
+    // this loop forever — fail loudly instead.
     def find(x: Any): Any = {
       var r = x
-      while (next.containsKey(r)) r = next.get(r)
+      var hops = 0
+      while (next.containsKey(r)) {
+        hops += 1
+        require(hops <= next.size,
+          s"cyclic or overlong merge chain in $labelsDir/merges starting " +
+            s"at $x (>${next.size} hops) — the merge store is corrupted; " +
+            "rebuild it (e.g. recluster from the pair history) before reading")
+        r = next.get(r)
+      }
       r
     }
     val rows = next.keySet().asScala.toSeq
