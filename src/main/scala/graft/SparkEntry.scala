@@ -286,14 +286,14 @@ object SparkEntry {
       TextAnalysis.fingerprint(t(s, d, "documents")).orderBy("doc_id")),
     "t5_rolling_fingerprint" -> ((s, d) => {
       import s.implicits._
-      spread(t(s, d, "documents")).select(col("doc_id"), col("text")).as[(Long, String)]
+      t(s, d, "documents").select(col("doc_id"), col("text")).as[(Long, String)]
         .map { case (id, text) =>
           (id, TextAnalysis.rollingHash(
             Option(text).getOrElse("").toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)))
         }.toDF("doc_id", "rolling_fp").orderBy("doc_id")
     }),
     "t6_regex_tokens" -> ((s, d) =>
-      TextAnalysis.regexTokens(spread(t(s, d, "documents"))).orderBy("doc_id")),
+      TextAnalysis.regexTokens(t(s, d, "documents")).orderBy("doc_id")),
     // ---- dedup ----
     "d1_exact_dedup" -> ((s, d) =>
       Dedup.exactDedup(t(s, d, "documents")).orderBy("content_hash")),

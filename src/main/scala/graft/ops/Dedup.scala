@@ -127,24 +127,22 @@ object Dedup {
           .filter(col("doc_a") < col("doc_b"))
           .select("doc_a", "n_a", "doc_b", "n_b")
       } else {
-        // ONE exchange feeds both the hot-shingle count and the grouped
-        // candidate generation: `byShingle` hash-partitions the shingle
-        // rows once, so (a) the df-count aggregation and the collect_list
-        // aggregation both run exchange-free on the co-partitioned rows,
-        // and (b) Spark's exchange reuse materializes the shingle map
-        // stage — the expensive tokenize+shingle UDF pass — ONCE instead
-        // of once per consumer (the pre-round-6 shape recomputed the UDF
-        // scan for the count pre-pass and again for the grouping; guide
-        // §2.4 "two operations keyed the same way share one exchange").
-        val byShingle = allRows.repartition(col("shingle"))
-        val hot = byShingle.groupBy("shingle").agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxDocFreq)
-          .select("shingle")
-        val grouped = byShingle
-          .join(broadcast(hot), Seq("shingle"), "left_anti")
+        // ONE pass, ONE shuffle, bounded buffers: the capped collect
+        // aggregate ([[graft.functions.CappedCollectList]]) retains at
+        // most cap+1 (doc_id, n_sh) entries per shingle on every path —
+        // map-side partials included, which also caps the shuffled bytes
+        // per hot shingle — and a cap+1-sized result IS the
+        // "df > maxDocFreq" signal, so the size filter below reproduces
+        // the hot-shingle drop exactly. The pre-round-6 shape needed a
+        // separate df-count pre-pass + broadcast anti-join to bound the
+        // collect_list buffer, which cost a second full tokenize+shingle
+        // UDF pass and a second shuffle (the optimizer pushes anti-joins
+        // below repartitions, so exchange reuse cannot deduplicate them).
+        val grouped = allRows
           .groupBy("shingle")
-          .agg(collect_list(struct(col("doc_id"), col("n_sh"))).as("ds"))
-          .filter(size(col("ds")) >= 2)
+          .agg(graft.functions.CappedCollectList(
+            struct(col("doc_id"), col("n_sh")), maxDocFreq).as("ds"))
+          .filter(size(col("ds")).between(2, maxDocFreq))
         grouped
           .select(col("ds"), posexplode(col("ds")))
           .withColumn("other",

@@ -78,6 +78,8 @@ object IncrementalClusters {
   def update(newPairs: DataFrame, labelsDir: String, batchId: Long,
              localSolveMaxPairs: Long = 2000000L): Unit = {
     val spark = newPairs.sparkSession
+    def phase(name: String): Unit = // guide §1.5: label the micro-jobs
+      spark.sparkContext.setJobDescription(s"d8 update $batchId: $name")
     IncrementalDedup.withWriterLease(spark, labelsDir) {
       checkBucketMarker(spark, labelsDir)
       val p = newPairs.select(col("doc_a"), col("doc_b")).persist()
@@ -92,10 +94,12 @@ object IncrementalClusters {
           .union(p.select(col("doc_b").as("doc_id"))).distinct()
           .withColumn("db", docBucket(col("doc_id"))).persist()
         // the drop's bucket set: bounded (≤ DocBuckets) by construction
+        phase("endpoint buckets")
         val dbs = endpoints.select("db").distinct()
           .collect().map(_.getInt(0)).toSeq
         val assigns = prunedAssignments(spark, labelsDir, p, dbs,
           excludeBatch = batchId)
+        phase("merge map")
         val merges = resolvedMerges(spark, labelsDir,
           p.schema("doc_a").dataType, excludeBatch = Some(batchId))
         // stored label (null for first-seen docs) resolved through the
@@ -118,6 +122,7 @@ object IncrementalClusters {
           .filter(col("rep_a") =!= col("rep_b"))
           .select(col("rep_a").as("doc_a"), col("rep_b").as("doc_b"))
           .distinct()
+        phase("contracted CC")
         cc = Dedup.duplicateClusters(contracted,
           localSolveMaxPairs = localSolveMaxPairs).persist()
         // merge delta: existing roots dethroned by the contraction
@@ -129,6 +134,7 @@ object IncrementalClusters {
         // one file: the merge map is the operator's declared bounded-small
         // side (it rides as a broadcast), so a single part file per batch
         // is the right shape at any scale
+        phase("merge delta write")
         deltaM.coalesce(1).write.mode("overwrite")
           .parquet(s"$labelsDir/merges/batch=$batchId")
         // first-time assignments for docs the store has never seen; the
@@ -146,10 +152,12 @@ object IncrementalClusters {
         // tasks × DocBuckets files per drop); hashing on db makes it one
         // file per (db, post-AQE partition), and AQE sizes the partition
         // count to the drop's actual volume
+        phase("assign write")
         newAssign.repartition(col("db"))
           .write.partitionBy("db").mode("overwrite")
           .parquet(s"$labelsDir/assign/batch=$batchId")
       } finally {
+        spark.sparkContext.setJobDescription(null)
         if (cc != null) cc.unpersist()
         if (looked != null) looked.unpersist()
         if (endpoints != null) endpoints.unpersist()

@@ -352,6 +352,22 @@ class StreamingSpec extends AnyFunSuite {
     IncrementalClusters.update(pairs.filter(col("doc_a") > 2), dir, 1)
   }
 
+  test("a hand-corrupted cyclic merge store fails fast instead of hanging the driver") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-cyc").toString
+    val dir = s"$base/labels"
+    IncrementalClusters.update(Seq((1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b"), dir, 0)
+    // corrupt the store: a merge CYCLE (5→6, 6→5) can never be produced by
+    // update() — merges always point at a strictly smaller surviving root —
+    // but a corrupted store must trip the hop bound, not loop forever
+    Seq((5L, 6L), (6L, 5L)).toDF("old_label", "new_label")
+      .write.mode("overwrite").parquet(s"$dir/merges/batch=1")
+    val e = intercept[IllegalArgumentException] {
+      IncrementalClusters.currentLabels(spark, dir).collect()
+    }
+    assert(e.getMessage.contains("cyclic or overlong merge chain"), e.getMessage)
+  }
+
   test("writer lease: overlapping writers fail fast, lease releases on exit, stale lease breakable") {
     val base = java.nio.file.Files.createTempDirectory("graft-lease").toString
     val store = s"$base/store"
