@@ -52,6 +52,22 @@ object BenchExtra {
             txt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
           println(s"wrote $outDir/$name.txt")
         }
+      case "explain-final" =>
+        // execute through the noop sink first, then print the FINAL
+        // adaptive plan — AQE's runtime exchange/stage reuse (ReusedExchange,
+        // ReusedQueryStage) is invisible in the pre-execution plan
+        val outDir = args(2)
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+        args(3).split(',').foreach { name =>
+          val df = SparkEntry.queries(name)(spark, sfDir)
+          df.write.format("noop").mode("overwrite").save()
+          val txt = "== Final adaptive plan (after execution) ==\n" +
+            df.queryExecution.executedPlan.toString
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(outDir, s"$name.final.txt"),
+            txt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          println(s"wrote $outDir/$name.final.txt")
+        }
       case "jobs" =>
         val name = args(2)
         val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()

@@ -380,6 +380,12 @@ object SparkEntry {
         }
         rm(new java.io.File(dir))
       }))
+      // SINGLE-THREADED ASSUMPTION: the conf overrides below are
+      // session-global for the window of the three updates — correct for
+      // the sequential bench driver; a concurrent query sharing this
+      // session would silently run with AQE off and 8 shuffle partitions
+      // during that window (scope via spark.newSession() if that ever
+      // changes).
       // AQE off around the per-drop updates (restored after): each update
       // is ~10 fixed-shape micro-stages over an already-tiny pair delta —
       // nothing to adapt, while AQE's per-query-stage materialize+replan

@@ -55,7 +55,12 @@ object Dedup {
       }
       seen.toArray(new Array[String](seen.size))
     }
-  }
+  }.asNondeterministic()
+  // ^ the function IS pure — asNondeterministic is the guide-§4.4 pin that
+  // stops the optimizer substituting it into derived filters and pushing
+  // those below the spread exchange: without it the executed plan
+  // evaluated the tokenize+shingle UDF THREE times per row (twice inside a
+  // scan-stage Filter on the single input split, once in the projection)
 
   def shingles(text: Column, n: Int = 3): Column = shinglesUdf(text, lit(n))
 
@@ -186,7 +191,7 @@ object Dedup {
       }
       out
     }
-  }
+  }.asNondeterministic() // pure; pinned for the same §4.4 reason as shinglesUdf
 
   /** Repeated-substring spans (Lee et al. '22 "Deduplicating Training Data"
     * shape): every maximal token range covered by `k`-token shingles that
