@@ -60,7 +60,10 @@ object BenchExtra {
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
         args(3).split(',').foreach { name =>
           val df = SparkEntry.queries(name)(spark, sfDir)
-          df.write.format("noop").mode("overwrite").save()
+          // drain THIS QueryExecution's plan (a .write would clone it and
+          // the clone's final plan is not visible on df)
+          df.queryExecution.executedPlan.execute()
+            .foreachPartition((it: Iterator[_]) => it.foreach(_ => ()))
           val txt = "== Final adaptive plan (after execution) ==\n" +
             df.queryExecution.executedPlan.toString
           java.nio.file.Files.write(
