@@ -435,15 +435,44 @@ object Dedup {
     *
     * Input: (doc_a, doc_b) candidate pairs. Output: (doc_id, cluster_id)
     * for every doc appearing in a pair. */
+  /** Size cap of the inline sizing probe in [[duplicateClusters]]: the
+    * tier-deciding count aggregation ALSO carries up to this many pairs
+    * back in the same job ([[graft.functions.CappedCollectList]]), so a
+    * graph at or under it is counted AND collected in ONE action instead
+    * of a count job plus a collect job. Bounded small (≈1.6 MB of partial
+    * buffer per map task) so the probe costs nothing at corpus scale,
+    * where the count comes back over the cap and the distributed tier
+    * proceeds exactly as before. */
+  val InlineProbeMaxPairs = 100000
+
   def duplicateClusters(pairs: DataFrame, maxIters: Int = 30,
                         jumpFromRound: Int = 3,
                         localSolveMaxPairs: Long = 2000000L): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val p = pairs.select(col("doc_a"), col("doc_b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nPairs = p.count()
+    // one job decides the tier AND (for small graphs — the common case for
+    // near-dup pair tables) returns the complete pair list for the local
+    // union-find; the probe materializes the cache, so the mid/large paths
+    // below never re-execute the upstream pipeline
+    // clamp ≥ 1: localSolveMaxPairs = 0 (the force-distributed knob) still
+    // needs a valid probe — its count then simply routes every non-empty
+    // graph to the distributed tier
+    val probeCap = math.max(1L,
+      math.min(localSolveMaxPairs, InlineProbeMaxPairs.toLong)).toInt
+    val probe = p.agg(count(lit(1)).as("n"),
+      graft.functions.CappedCollectList(
+        struct(col("doc_a"), col("doc_b")), probeCap).as("ps"))
+      .collect()(0)
+    val nPairs = probe.getLong(0)
     if (nPairs <= localSolveMaxPairs) {
-      val out = localClusters(pairs.sparkSession, p)
+      val rows: Seq[(Any, Any)] =
+        if (nPairs <= probeCap)
+          probe.getSeq[org.apache.spark.sql.Row](1)
+            .map(r => (r.get(0), r.get(1)))
+        else // mid band (probeCap < n ≤ localSolveMaxPairs): cached re-read
+          p.collect().toSeq.map(r => (r.get(0), r.get(1)))
+      val out = localClusters(pairs.sparkSession, rows, p.schema("doc_a").dataType)
       p.unpersist()
       return out
     }
@@ -502,9 +531,12 @@ object Dedup {
     * [[duplicateClusters]]: exact connected components with path
     * compression, min-id cluster labels. Ids are treated as opaque
     * `Comparable` values (long or string doc ids both work), so the
-    * output schema mirrors the input's id type exactly. */
+    * output schema mirrors the input's id type exactly. Takes the
+    * already-collected pair rows (round 6: the sizing probe carries them
+    * back in its own job, so this never re-collects). */
   private def localClusters(spark: org.apache.spark.sql.SparkSession,
-                            p: DataFrame): DataFrame = {
+                            pairs: Seq[(Any, Any)],
+                            idType: org.apache.spark.sql.types.DataType): DataFrame = {
     import scala.jdk.CollectionConverters._
     val parent = new java.util.HashMap[Any, Any]()
     def find(x: Any): Any = {
@@ -514,8 +546,7 @@ object Dedup {
       while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
       r
     }
-    p.collect().foreach { row =>
-      val a = row.get(0); val b = row.get(1)
+    pairs.foreach { case (a, b) =>
       if (!parent.containsKey(a)) parent.put(a, a)
       if (!parent.containsKey(b)) parent.put(b, b)
       val ra = find(a); val rb = find(b)
@@ -540,7 +571,6 @@ object Dedup {
       val cur = minOfRoot.get(r)
       if (cur == null || lt(k, cur)) minOfRoot.put(r, k)
     }
-    val idType = p.schema("doc_a").dataType
     val rows = parent.keySet().asScala.toSeq.map { k =>
       org.apache.spark.sql.Row(k, minOfRoot.get(find(k)))
     }

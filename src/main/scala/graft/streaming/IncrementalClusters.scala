@@ -93,10 +93,20 @@ object IncrementalClusters {
         endpoints = p.select(col("doc_a").as("doc_id"))
           .union(p.select(col("doc_b").as("doc_id"))).distinct()
           .withColumn("db", docBucket(col("doc_id"))).persist()
-        // the drop's bucket set: bounded (≤ DocBuckets) by construction
+        // the drop's bucket set: bounded (≤ DocBuckets) by construction.
+        // Skipped entirely while the store has no assignments yet (the
+        // first drop): the pruned lookup below is empty either way, so the
+        // bucket-set job would only burn a scheduling round-trip.
+        val storeHasAssigns = {
+          val assignPath = new org.apache.hadoop.fs.Path(labelsDir, "assign")
+          assignPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .exists(assignPath)
+        }
         phase("endpoint buckets")
-        val dbs = endpoints.select("db").distinct()
-          .collect().map(_.getInt(0)).toSeq
+        val dbs =
+          if (!storeHasAssigns) Seq.empty[Int]
+          else endpoints.select("db").distinct()
+            .collect().map(_.getInt(0)).toSeq
         val assigns = prunedAssignments(spark, labelsDir, p, dbs,
           excludeBatch = batchId)
         phase("merge map")
