@@ -74,7 +74,17 @@ object IncrementalClusters {
 
   /** Fold one drop's candidate pairs (doc_a, doc_b) into the label store.
     * `localSolveMaxPairs` is the contracted-graph tier threshold passed
-    * through to [[Dedup.duplicateClusters]]. */
+    * through to [[Dedup.duplicateClusters]].
+    *
+    * REPLAY OBLIGATION for direct callers: a crash between the
+    * merges/batch=N commit and the assign/batch=N commit leaves
+    * [[currentLabels]] resolving existing docs to a new-doc cluster id
+    * that has no assignment row yet; consistency is restored only by
+    * re-running update() with the SAME batchId and pairs. The streaming
+    * checkpoint path ([[IncrementalDedup.run]]) replays automatically;
+    * direct callers (the d8 harness pattern) must re-invoke the failed
+    * batch themselves before trusting currentLabels, or the
+    * incremental ≡ batch contract silently stays broken. */
   def update(newPairs: DataFrame, labelsDir: String, batchId: Long,
              localSolveMaxPairs: Long = 2000000L): Unit = {
     val spark = newPairs.sparkSession
