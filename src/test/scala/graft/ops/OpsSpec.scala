@@ -464,4 +464,21 @@ class OpsSpec extends AnyFunSuite {
     graft.sources.DocSources.writeDocsCsv(docs, s"$base/csv")
     assert(canon(graft.sources.DocSources.readDocsCsv(spark2, s"$base/csv")) == canon(docs))
   }
+
+  test("persisting queries leave no cached plans behind (no cross-run result caching)") {
+    // The bench re-runs every query in one session; a leaked persist would
+    // let pass 2 read pass 1's cache — result caching across runs, which
+    // the measurement contract forbids. Every operator that persists
+    // (duplicateClusters' pair probe, d8's harness + update internals)
+    // must unpersist on every path.
+    val cm = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sharedState.cacheManager
+    cm.clearCache()
+    Seq("d7_dup_clusters", "c2_semantic_curation", "d8_incremental_clusters")
+      .foreach { q =>
+        graft.SparkEntry.queries(q)(spark, sf)
+          .write.format("noop").mode("overwrite").save()
+        assert(cm.isEmpty, s"$q leaked cached plans")
+      }
+  }
 }
