@@ -293,7 +293,7 @@ object SparkEntry {
         }.toDF("doc_id", "rolling_fp").orderBy("doc_id")
     }),
     "t6_regex_tokens" -> ((s, d) =>
-      TextAnalysis.regexTokens(t(s, d, "documents")).orderBy("doc_id")),
+      TextAnalysis.regexTokens(spread(t(s, d, "documents"))).orderBy("doc_id")),
     // ---- dedup ----
     "d1_exact_dedup" -> ((s, d) =>
       Dedup.exactDedup(t(s, d, "documents")).orderBy("content_hash")),
