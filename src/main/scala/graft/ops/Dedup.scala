@@ -385,6 +385,16 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
   }
 
+  /** Size cap of the inline sizing probe in [[duplicateClusters]]: the
+    * tier-deciding count aggregation ALSO carries up to this many pairs
+    * back in the same job ([[graft.functions.CappedCollectList]]), so a
+    * graph at or under it is counted AND collected in ONE action instead
+    * of a count job plus a collect job. Bounded small (≈1.6 MB of partial
+    * buffer per map task) so the probe costs nothing at corpus scale,
+    * where the count comes back over the cap and the distributed tier
+    * proceeds exactly as before. */
+  val InlineProbeMaxPairs = 100000
+
   /** Duplicate clusters from a candidate-pair table: connected components
     * by iterative min-label propagation with ADAPTIVE POINTER JUMPING.
     *
@@ -435,16 +445,6 @@ object Dedup {
     *
     * Input: (doc_a, doc_b) candidate pairs. Output: (doc_id, cluster_id)
     * for every doc appearing in a pair. */
-  /** Size cap of the inline sizing probe in [[duplicateClusters]]: the
-    * tier-deciding count aggregation ALSO carries up to this many pairs
-    * back in the same job ([[graft.functions.CappedCollectList]]), so a
-    * graph at or under it is counted AND collected in ONE action instead
-    * of a count job plus a collect job. Bounded small (≈1.6 MB of partial
-    * buffer per map task) so the probe costs nothing at corpus scale,
-    * where the count comes back over the cap and the distributed tier
-    * proceeds exactly as before. */
-  val InlineProbeMaxPairs = 100000
-
   def duplicateClusters(pairs: DataFrame, maxIters: Int = 30,
                         jumpFromRound: Int = 3,
                         localSolveMaxPairs: Long = 2000000L): DataFrame = {
