@@ -87,23 +87,23 @@ object Dedup {
     * distinct-shingle counts.
     *
     * The capped path (the production configuration) generates candidates
-    * from ONE heavy aggregation: drop hot shingles, then groupBy(shingle)
-    * with a `collect_list` — bounded by the cap, because hot shingles
-    * were already removed — and explode in-list pair combinations
-    * (posexplode × suffix slice). The hot-shingle removal happens BEFORE
-    * the aggregation via a df-count pre-pass + broadcast anti-join: the
-    * pre-pass is map-side combinable, so it shuffles only per-partition
-    * (shingle, count) partials, never the rows — filtering oversize
-    * lists AFTER a collect_list would build an unbounded aggregation
-    * buffer for exactly the 10⁶-doc boilerplate shingle the cap exists
-    * to guard against. Net vs the previous self-join form: the full
-    * shingle rows shuffle once instead of twice (join sides a and b) and
-    * the pair candidates materialize once, with per-shingle work ≤
-    * cap²/2 pairs (no skew). collect_list order is partition-
-    * nondeterministic, so pairs normalize to (least, greatest) — the
-    * unordered pair SET per shingle is order-invariant. The uncapped
-    * path keeps the self-join (an unbounded shingle would make
-    * collect_list a memory hazard there).
+    * from ONE tokenize pass and ONE shuffle: groupBy(shingle) with the
+    * capped collect aggregate ([[graft.functions.CappedCollectList]]) —
+    * every buffer, map-side partials included, holds at most cap+1
+    * (doc_id, n_sh) entries, so a 10⁶-doc boilerplate shingle costs cap+1
+    * slots (and at most cap+1 shuffled entries per map partition) instead
+    * of an unbounded list — then explode in-list pair combinations
+    * (posexplode × suffix slice). A cap+1-sized result IS the
+    * "df > maxDocFreq" overflow signal, so the
+    * `size(ds) BETWEEN 2 AND cap` filter reproduces the hot-shingle drop
+    * of the earlier df-count pre-pass + broadcast anti-join exactly
+    * (equivalence pinned in CappedCollectListSpec), without that design's
+    * second tokenize pass and second shuffle. Per-shingle pair work stays
+    * ≤ cap²/2 (no skew). Collect order is partition-nondeterministic, so
+    * pairs normalize to (least, greatest) — the unordered pair SET per
+    * shingle is order-invariant. The uncapped path keeps the self-join
+    * (an unbounded shingle would make any collected list a memory hazard
+    * there).
     *
     * The DEFAULT is capped ([[DefaultMaxDocFreq]]): the quadratic
     * uncapped self-join is the explicit opt-in `maxDocFreq = 0` — an
