@@ -94,6 +94,10 @@ object BenchExtra {
         // warmup pass (codegen) then measured pass
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
+        // listener events ride an async bus: give the warmup's trailing
+        // onJobEnd events time to land before clearing, or they pollute
+        // the measured table
+        Thread.sleep(500)
         done.synchronized(done.clear())
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, sfDir)

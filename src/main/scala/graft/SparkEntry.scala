@@ -47,6 +47,23 @@ object SparkEntry {
       case _                     => 4
     }
 
+  /** d8's per-invocation temp label stores, reclaimed together by ONE JVM
+    * shutdown hook (not a hook per invocation). They cannot be deleted
+    * mid-process: the returned currentLabels frame reads the store lazily,
+    * and an earlier invocation's frame may still be executed later. A few
+    * MB per run until exit is the accepted cost of that laziness. */
+  private lazy val d8TempStores: java.util.concurrent.ConcurrentLinkedQueue[String] = {
+    val q = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      q.forEach(d => rm(new java.io.File(d)))
+    }))
+    q
+  }
+
   /** Clustering tier threshold for the d7/c2 queries: default 2×10⁶ pairs
     * (the operator default); SPARK_GRAFT_D7_LOCAL_MAX overrides for scale
     * batteries (=0 forces the distributed adaptive-jump tier — the
@@ -373,13 +390,7 @@ object SparkEntry {
       val dir = (if (java.nio.file.Files.isDirectory(shm))
         java.nio.file.Files.createTempDirectory(shm, "graft_d8_")
       else java.nio.file.Files.createTempDirectory("graft_d8_")).toString
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete(): Unit
-        }
-        rm(new java.io.File(dir))
-      }))
+      d8TempStores.add(dir)
       // SINGLE-THREADED ASSUMPTION: the conf overrides below are
       // session-global for the window of the three updates — correct for
       // the sequential bench driver; a concurrent query sharing this

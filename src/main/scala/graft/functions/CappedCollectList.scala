@@ -36,7 +36,12 @@ case class CappedCollectList(
   extends TypedImperativeAggregate[mutable.ArrayBuffer[Any]]
   with UnaryLike[Expression] {
 
-  require(cap > 0, s"cap must be positive, got $cap")
+  // cap = Int.MaxValue would be an "unbounded" sentinel — and would make
+  // merge's `cap + 1 - length` room arithmetic wrap negative, silently
+  // dropping every merged partial. Callers wanting no bound should use
+  // collect_list; this aggregate's contract IS the bound.
+  require(cap > 0 && cap < Int.MaxValue,
+    s"cap must be in [1, ${Int.MaxValue - 1}], got $cap")
 
   override def createAggregationBuffer(): mutable.ArrayBuffer[Any] =
     mutable.ArrayBuffer.empty

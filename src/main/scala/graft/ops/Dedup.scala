@@ -126,9 +126,10 @@ object Dedup {
       if (maxDocFreq == 0) {
         val a = allRows.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"), col("shingle"))
         val b = allRows.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"), col("shingle"))
-        // shuffled self-join: one exchange, reused by both sides (see
-        // lshNearDupPairs — a broadcast side would re-run the shingle UDF)
-        a.join(b.hint("shuffle_hash"), Seq("shingle"))
+        // merge self-join: one exchange, reused by both sides, spill-safe
+        // under hot-shingle skew (see lshNearDupPairs — a broadcast side
+        // would re-run the shingle UDF)
+        a.join(b.hint("merge"), Seq("shingle"))
           .filter(col("doc_a") < col("doc_b"))
           .select("doc_a", "n_a", "doc_b", "n_b")
       } else {
@@ -307,7 +308,7 @@ object Dedup {
     val banded = bandedSignatureKeys(signatures, k, bands)
     val a = banded.select(col("band"), col("key"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("key"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    // SHUFFLE_HASH hint on the self-join: without it the planner broadcasts
+    // MERGE hint on the self-join: without it the planner broadcasts
     // one side, and a BroadcastExchange can never reuse the other side's
     // shuffle — so the ENTIRE upstream pipeline (scan → shingle UDF →
     // minhash aggregation → banding) executes twice, once per join side
@@ -316,8 +317,11 @@ object Dedup {
     // and exchange reuse materializes the pipeline ONCE (guide §2.4/§3.1);
     // at corpus scale a broadcast of the banded corpus is impossible
     // anyway, so the shuffled self-join is also the honest 100-TB shape.
+    // Sort-merge over shuffled-hash deliberately (guide §3.1): measured
+    // equal-or-faster here, and SMJ spills gracefully where a skewed hot
+    // band key would OOM a shuffled-hash build side.
     pairsFromCandidates(
-      a.join(b.hint("shuffle_hash"), Seq("band", "key"))
+      a.join(b.hint("merge"), Seq("band", "key"))
         .filter(col("doc_a") < col("doc_b")),
       k, minEstJaccard)
   }
@@ -374,9 +378,9 @@ object Dedup {
       .withColumnRenamed("col", "key")
     val a = banded.select(col("band"), col("key"), col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
     val b2 = banded.select(col("band"), col("key"), col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
-    // shuffled self-join so both sides reuse ONE exchange — a broadcast
-    // side would re-run the whole simhash kernel scan (see lshNearDupPairs)
-    a.join(b2.hint("shuffle_hash"), Seq("band", "key"))
+    // merge self-join so both sides reuse ONE exchange (spill-safe; see
+    // lshNearDupPairs) — a broadcast side would re-run the simhash kernel
+    a.join(b2.hint("merge"), Seq("band", "key"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b", "sh_a", "sh_b")
       .distinct()
@@ -384,16 +388,6 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
   }
-
-  /** Size cap of the inline sizing probe in [[duplicateClusters]]: the
-    * tier-deciding count aggregation ALSO carries up to this many pairs
-    * back in the same job ([[graft.functions.CappedCollectList]]), so a
-    * graph at or under it is counted AND collected in ONE action instead
-    * of a count job plus a collect job. Bounded small (≈1.6 MB of partial
-    * buffer per map task) so the probe costs nothing at corpus scale,
-    * where the count comes back over the cap and the distributed tier
-    * proceeds exactly as before. */
-  val InlineProbeMaxPairs = 100000
 
   /** Duplicate clusters from a candidate-pair table: connected components
     * by iterative min-label propagation with ADAPTIVE POINTER JUMPING.
@@ -451,27 +445,15 @@ object Dedup {
     import org.apache.spark.storage.StorageLevel
     val p = pairs.select(col("doc_a"), col("doc_b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // one job decides the tier AND (for small graphs — the common case for
-    // near-dup pair tables) returns the complete pair list for the local
-    // union-find; the probe materializes the cache, so the mid/large paths
-    // below never re-execute the upstream pipeline
-    // clamp ≥ 1: localSolveMaxPairs = 0 (the force-distributed knob) still
-    // needs a valid probe — its count then simply routes every non-empty
-    // graph to the distributed tier
-    val probeCap = math.max(1L,
-      math.min(localSolveMaxPairs, InlineProbeMaxPairs.toLong)).toInt
-    val probe = p.agg(count(lit(1)).as("n"),
-      graft.functions.CappedCollectList(
-        struct(col("doc_a"), col("doc_b")), probeCap).as("ps"))
-      .collect()(0)
-    val nPairs = probe.getLong(0)
+    // sizing count, then (small tier) a collect of the CACHED pairs. A
+    // fused count+capped-collect probe was tried in round 6 and reverted:
+    // it saved only one cache-read job (~0.03-0.05 s, within local noise)
+    // while shipping up to cap+1 collected pairs from EVERY map partition
+    // to one reducer — a real regression at corpus scale, where the
+    // count's bytes-per-partition is what makes the sizing check free.
+    val nPairs = p.count()
     if (nPairs <= localSolveMaxPairs) {
-      val rows: Seq[(Any, Any)] =
-        if (nPairs <= probeCap)
-          probe.getSeq[org.apache.spark.sql.Row](1)
-            .map(r => (r.get(0), r.get(1)))
-        else // mid band (probeCap < n ≤ localSolveMaxPairs): cached re-read
-          p.collect().toSeq.map(r => (r.get(0), r.get(1)))
+      val rows: Seq[(Any, Any)] = p.collect().toSeq.map(r => (r.get(0), r.get(1)))
       val out = localClusters(pairs.sparkSession, rows, p.schema("doc_a").dataType)
       p.unpersist()
       return out
@@ -629,9 +611,9 @@ object Dedup {
     // distinct over the raw candidates would shuffle both full embedding
     // arrays per pair (~0.5 KB/pair; measured the dominant d5 cost at the
     // 10x corpus)
-    // shuffled self-join so both sides reuse ONE exchange — a broadcast
-    // side would recompute every hyperplane projection (see lshNearDupPairs)
-    a.join(b2.hint("shuffle_hash"), Seq("band", "key"))
+    // merge self-join so both sides reuse ONE exchange (spill-safe; see
+    // lshNearDupPairs) — a broadcast side would recompute every projection
+    a.join(b2.hint("merge"), Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine",
         graft.functions.VecMath.vecDot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")))

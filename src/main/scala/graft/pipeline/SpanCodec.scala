@@ -85,27 +85,36 @@ object SpanCodec {
       var shift = 0; var v = 0L
       var b = nextByte()
       while ((b & 0x80) != 0) {
-        // a valid encoder emits ≤ 10 bytes (shift ≤ 63); past that the
-        // continuation run is corrupt and (b & 0x7f) << (shift % 64) would
-        // silently yield wrong values instead of an error
+        // a valid encoder emits ≤ 10 bytes (last OR at shift 63); past
+        // that the continuation run is corrupt and (b & 0x7f) << (shift %
+        // 64) would silently yield wrong values instead of an error
         if (shift > 63) fail("varint continuation run exceeds 64 bits")
         v |= (b & 0x7fL) << shift; shift += 7
         b = nextByte()
       }
+      // the terminal byte needs the same guard: shift can reach 70 with
+      // exactly 10 continuation bytes, and 1L << 70 wraps to 1L << 6
+      if (shift > 63) fail("varint continuation run exceeds 64 bits")
       v | ((b & 0x7fL) << shift)
     }
+    def varintLen(what: String): Int = {
+      // lengths/counts are ints by construction; a corrupt 2^32+k varint
+      // must not truncate into a small "valid" value
+      val n = varint()
+      if (n < 0 || n > Int.MaxValue) fail(s"$what $n out of int range")
+      n.toInt
+    }
     def nullable(): String = {
-      val n = varint().toInt
+      val n = varintLen("string length")
       if (n == 0) null
       else {
-        if (n < 0 || p + (n - 1) > bytes.length) fail(s"string length ${n - 1} overruns blob")
+        if (p.toLong + (n - 1) > bytes.length) fail(s"string length ${n - 1} overruns blob")
         val s = new String(bytes, p, n - 1, java.nio.charset.StandardCharsets.UTF_8)
         p += n - 1
         s
       }
     }
-    val count = varint().toInt
-    if (count < 0) fail(s"negative span count $count")
+    val count = varintLen("span count")
     val out = Vector.newBuilder[Span]
     out.sizeHint(count)
     var i = 0
